@@ -1,0 +1,166 @@
+package ocrspark.job
+
+import java.nio.charset.StandardCharsets
+
+import ocrspark.model.{PageResult, RawPage}
+import ocrspark.parse.{HtmlExtract, PdfExtract}
+import ocrspark.route.Analyze
+import ocrspark.text.{Confidence, Fields, Normalize, PageAssembly}
+
+/** Row-local document extraction — the whole reference `/process`
+  * pipeline (app.py:887-1012) as ONE pure function so it runs inside a
+  * single codegen'd projection per row: route → per-page normalize →
+  * ordered reassembly → field extraction → confidence model. No state,
+  * no I/O, no shuffle; Spark's task parallelism replaces the reference's
+  * ProcessPoolExecutor (SURVEY.md §3.1).
+  */
+object Extract {
+
+  /** Per-document result (becomes a struct column; `analysis_*` feeds
+    * the /analyze-shaped metadata query, SURVEY.md §3.3). */
+  case class DocResult(
+      text: String,
+      fields: Map[String, String],
+      method: String,
+      pages: Int,
+      confidence: Double,
+      processed_pages: Int,
+      low_confidence_pages: Int,
+      route: String,
+      route_confidence: Double,
+      has_text: Boolean,
+      has_images: Boolean,
+      text_length: Int,
+      text_density: Double,
+      sample_text: String,
+      error: String)
+
+  val MethodText = "text_extraction_enhanced" // app.py:646
+  val MethodOcr = "advanced_ocr" // app.py:779
+  val MethodHtml = "html_extraction" // engine extension (north star)
+  val MethodUpstream = "upstream_text" // engine extension: trusted upstream text
+  val MethodError = "error"
+
+  private def isPdf(b: Array[Byte]): Boolean =
+    b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-'
+
+  /** The per-row pipeline. `upstreamText` is the lake table's `text`
+    * column (pre-extracted by upstream when non-null/non-blank — takes
+    * the trusted fast path, mirroring the reference's text-path
+    * confidence contract). */
+  def extractDocument(html: Array[Byte], upstreamText: String,
+                      lang: String): DocResult = {
+    try {
+      if (upstreamText != null && Normalize.pyStrip(upstreamText).nonEmpty)
+        return upstreamPath(upstreamText, lang)
+      if (html == null || html.length == 0)
+        return errorResult("empty payload")
+      if (isPdf(html)) pdfPath(html, lang)
+      else htmlPath(html, lang)
+    } catch {
+      case e: Exception =>
+        errorResult(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  private def upstreamPath(text: String, lang: String): DocResult = {
+    val norm = Normalize.normalize(text, lang)
+    val fields = Fields.extract(norm)
+    DocResult(norm, fields, MethodUpstream, pages = 1,
+      confidence = Confidence.TextPathConfidence, processed_pages = 1,
+      low_confidence_pages = 0, route = "upstream", route_confidence = 1.0,
+      has_text = true, has_images = false,
+      text_length = norm.length, text_density = norm.length.toDouble,
+      sample_text = sample(norm), error = null)
+  }
+
+  private def pdfPath(html: Array[Byte], lang: String): DocResult = {
+    val sizeMb = html.length / (1024.0 * 1024.0)
+    val parsed = PdfExtract.parse(html)
+    val a = Analyze.analyzePdf(parsed, sizeMb)
+    parsed match {
+      case Left(err) =>
+        // reference: unparseable → scanned path → pdfinfo fails → error
+        DocResult("", Map.empty, MethodOcr, pages = 0, confidence = 0.0,
+          processed_pages = 0, low_confidence_pages = 0,
+          route = a.processing_recommendation,
+          route_confidence = a.confidence, has_text = false,
+          has_images = false, text_length = 0, text_density = 0.0,
+          sample_text = "", error = err)
+      case Right(doc) if doc.pageCount == 0 =>
+        DocResult("", Map.empty, MethodOcr, pages = 0, confidence = 0.0,
+          processed_pages = 0, low_confidence_pages = 0,
+          route = a.processing_recommendation,
+          route_confidence = a.confidence, has_text = false,
+          has_images = false, text_length = 0, text_density = 0.0,
+          sample_text = "", error = "PDF no contiene páginas") // app.py:674
+      case Right(doc) =>
+        if (a.processing_recommendation == Analyze.RouteText)
+          textPdf(doc, a, lang)
+        else ocrShapedPdf(doc, a, lang) // 'hybrid' AND 'ocr' (app.py:942-945)
+    }
+  }
+
+  private def textPdf(doc: PdfExtract.Doc, a: ocrspark.model.Analysis,
+                      lang: String): DocResult = {
+    val raw = doc.pages.map(p => RawPage(p.page, p.text, p.error))
+    val text = PageAssembly.assembleTextPath(raw, lang)
+    val fields = Fields.extract(text)
+    DocResult(text, fields, MethodText, pages = doc.pageCount,
+      confidence = Confidence.TextPathConfidence, // 95.0, app.py:647
+      processed_pages = doc.pageCount, low_confidence_pages = 0,
+      route = a.processing_recommendation, route_confidence = a.confidence,
+      has_text = a.has_text, has_images = a.has_images,
+      text_length = a.text_length, text_density = a.text_density,
+      sample_text = a.sample_text, error = null)
+  }
+
+  private def ocrShapedPdf(doc: PdfExtract.Doc, a: ocrspark.model.Analysis,
+                           lang: String): DocResult = {
+    val results = doc.pages.map { p =>
+      if (p.error != null)
+        // page-conversion failure contract (app.py:717-723)
+        PageResult(p.page,
+          s"[Error convirtiendo página ${p.page}: ${p.error}]", 0.0, p.error)
+      else {
+        val norm = Normalize.normalize(if (p.text == null) "" else p.text, lang)
+        PageResult(p.page, norm, Confidence.pageConfidence(norm, null), null)
+      }
+    }
+    val text = PageAssembly.assembleOcrPath(results, doc.pageCount)
+    val fields = Fields.extract(text)
+    val (avg, processed) = Confidence.documentConfidence(results.map(_.confidence))
+    DocResult(text, fields, MethodOcr, pages = doc.pageCount,
+      confidence = avg, processed_pages = processed,
+      low_confidence_pages = doc.pageCount - processed, // app.py:783
+      route = a.processing_recommendation, route_confidence = a.confidence,
+      has_text = a.has_text, has_images = a.has_images,
+      text_length = a.text_length, text_density = a.text_density,
+      sample_text = a.sample_text, error = null)
+  }
+
+  private def htmlPath(html: Array[Byte], lang: String): DocResult = {
+    val r = HtmlExtract.extractMain(new String(html, StandardCharsets.UTF_8))
+    val norm = Normalize.normalize(r.text, lang)
+    val fields = Fields.extract(norm)
+    val conf = Confidence.pageConfidence(norm, null)
+    val processed = if (conf > Confidence.MinThreshold) 1 else 0
+    DocResult(norm, fields, MethodHtml, pages = 1, confidence = conf,
+      processed_pages = processed, low_confidence_pages = 1 - processed,
+      route = "html_extraction", route_confidence = 1.0,
+      has_text = norm.length > 50, has_images = false,
+      text_length = norm.length, text_density = norm.length.toDouble,
+      sample_text = sample(norm), error = null)
+  }
+
+  private def errorResult(msg: String): DocResult =
+    DocResult("", Map.empty, MethodError, pages = 0, confidence = 0.0,
+      processed_pages = 0, low_confidence_pages = 0, route = "error",
+      route_confidence = 0.0, has_text = false, has_images = false,
+      text_length = 0, text_density = 0.0, sample_text = "", error = msg)
+
+  private def sample(s: String): String =
+    if (s.length <= 500) s
+    else Normalize.pyStrip(s.substring(0, s.offsetByCodePoints(0, math.min(500, s.codePointCount(0, s.length)))))
+}

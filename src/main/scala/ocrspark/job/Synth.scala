@@ -1,0 +1,233 @@
+package ocrspark.job
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import ocrspark.parse.PdfWriter
+
+/** Deterministic synthesis of the `pages` lake table
+  * `(url, warc_ts, html, text, lang)` — BASELINE.json `input_hint` —
+  * from the driver's read-only `documents.parquet` (TESTDATA.md), with
+  * no wall-clock and no unseeded randomness: every choice is a pure
+  * function of `doc_id` (FIXTURES.md §1.1).
+  *
+  * Mix (by doc_id mod 20): 40% HTML pages (body = doc text wrapped in
+  * boilerplate: nav/header/footer/link lists — what Arc90 must strip),
+  * 40% embedded-text PDFs (1–5 pages), 10% "scanned-shaped" PDFs (short
+  * text + image XObject → routes hybrid/ocr), 5% corrupt PDFs
+  * (truncated → error path), 5% upstream-text rows. Hosts are
+  * zipfian-skewed (FIXTURES.md: "host component zipfian-skewed") so
+  * skew handling is observable. Every 5th doc gets a legal header so
+  * the normalization vocabulary and all 12 fields fire at scale.
+  */
+object Synth {
+
+  val WarcBase = 1704067200000L // 2024-01-01T00:00:00Z, fixed epoch
+
+  // 40 hosts; selection is zipfian via the harmonic CDF below.
+  private val hosts: Vector[String] =
+    (0 until 40).map(i => s"site$i.example.org").toVector
+  private val harmonic: Vector[Double] = {
+    val h = hosts.indices.map(i => 1.0 / (i + 1))
+    val total = h.sum
+    h.scanLeft(0.0)(_ + _).tail.map(_ / total).toVector
+  }
+
+  /** Deterministic pseudo-random in [0,1) from doc_id + stream id. */
+  private def unit(docId: Long, stream: Int): Double = {
+    var x = docId * 0x9E3779B97F4A7C15L + stream * 0xC2B2AE3D27D4EB4FL
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+    (x >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  def hostFor(docId: Long): String = {
+    val u = unit(docId, 1)
+    val idx = harmonic.indexWhere(u <= _)
+    hosts(if (idx < 0) hosts.length - 1 else idx)
+  }
+
+  def urlFor(docId: Long): String = {
+    val kind = (docId % 20).toInt
+    val ext = if (kind >= 8 && kind <= 18) "pdf" else "html"
+    s"https://${hostFor(docId)}/doc/$docId.$ext"
+  }
+
+  // Legal headers rotated into every 5th doc (authored here; exercises
+  // the correction dictionary, all pattern rules, and the 12 fields).
+  private val legalHeaders = Vector(
+    "MlNlSTERlO PUBLICO\nFISCALIA  PROVINCIAL  PENAL  CORPORATIVA DE AREQUlPA\n" +
+      "DISTRITO FISCAL DE AREQUIPA\nCARPETA FlSCAL: 5006014504-2024-215-0\n\n" +
+      "PROVlDENCIA N° 01-2024\nChivay, 15 de Marzo del 2024\n" +
+      "IMPUTADO: JUAN CARLOS QUISPE MAMANI\nAGRAVIADO: MARIA LOPEZ DE TORRES\n" +
+      "DELITO: CONTRA EL PATRIMONIO - USURPACION\nArt. 202 Inc. 2 del CODIGO PENAL",
+    "EXPEDlENTE N° 01234-2024-0-0401-JR-PE\nRESOLUCION N° 05\n" +
+      "JUZGADO PENAL UNIPERSONAL DE AREQUIPA\nJUEZ: PEDRO SANCHEZ RIVERA\n" +
+      "FISCAL: ANA TORRES DELGADO\nfecha: 03-04-2024",
+    "CORTE SUPERIOR DE JUSTICIA\nexpediente n° 00456-2023-0-0402-JP-CI\n" +
+      "resolucion numero tres\nMAGISTRADO: LUISA FERNANDEZ CACERES\n" +
+      "FISCALÍA SUPREMA PENAL DE LIMA\nDISTRITO FISCAL DE LIMA SUR\n" +
+      "INVESTIGADO: CARLOS RAMOS PAREDES\nDELlTO: CONTRA LA VIDA\n" +
+      "el 7 de Agosto del 2023\nart. 106 inc. 1",
+    "CARPETA FISCAL 1234567890-2024-123-12\nAPROPIACION ILICITA en agravio\n" +
+      "vehiculo de placa ABC 123\ntitulo II del codigo\nFECHA: 12/11/2024",
+  )
+
+  def bodyFor(docId: Long, docText: String): String = {
+    val base = if (docText == null) "" else docText
+    if (docId % 5 == 0)
+      legalHeaders(((docId / 5) % legalHeaders.length).toInt) + "\n\n" + base
+    else base
+  }
+
+  private def wrapLines(s: String, width: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    s.split('\n').foreach { para =>
+      if (para.length <= width) out += para
+      else {
+        var line = new StringBuilder
+        para.split(' ').foreach { w =>
+          if (line.length + w.length + 1 > width && line.nonEmpty) {
+            out += line.toString; line = new StringBuilder
+          }
+          if (line.nonEmpty) line.append(' ')
+          line.append(w)
+        }
+        if (line.nonEmpty) out += line.toString
+      }
+    }
+    out.result()
+  }
+
+  /** Text-PDF: body split across 1–5 pages of blocks of wrapped lines. */
+  def textPdfFor(docId: Long, body: String): Array[Byte] = {
+    val lines = wrapLines(body, 80)
+    val perPage = 60
+    val nPages = math.max(1, math.min(5, (lines.length + perPage - 1) / perPage))
+    val pages = (0 until nPages).map { p =>
+      val pageLines = lines.slice(p * perPage, (p + 1) * perPage)
+      val blocks = pageLines.grouped(4).toVector
+      PdfWriter.PageSpec(blocks)
+    }
+    PdfWriter.build(pages, compress = unit(docId, 2) < 0.7)
+  }
+
+  /** Scanned-shaped PDF: image XObjects + very little embedded text
+    * (routes to ocr, or hybrid when text is mid-range). */
+  def scannedPdfFor(docId: Long, body: String): Array[Byte] = {
+    val nPages = 1 + (unit(docId, 3) * 4).toInt
+    val snippet = bodySnippet(body, if (docId % 40 == 16) 300 else 40)
+    val pages = (0 until nPages).map { p =>
+      val text =
+        if (p == 0 && snippet.nonEmpty) wrapLines(snippet, 60)
+        else Vector.empty[String]
+      PdfWriter.PageSpec(if (text.isEmpty) Vector.empty else Vector(text),
+        hasImage = true)
+    }
+    PdfWriter.build(pages)
+  }
+
+  private def bodySnippet(body: String, n: Int): String =
+    if (body.length <= n) body else body.substring(0, n)
+
+  /** Corrupt PDF. Two flavors, mirroring the reference's two failure
+    * layers: header-only garbage → document-level error (pdfinfo AND
+    * PdfReader both fail, app.py:665-671); truncated-but-scannable →
+    * per-page conversion errors (app.py:715-723). */
+  def corruptPdfFor(docId: Long, body: String): Array[Byte] = {
+    if (docId % 40 == 18)
+      s"%PDF-1.4\n@@corrupted payload $docId@@".getBytes(StandardCharsets.ISO_8859_1)
+    else {
+      val whole = textPdfFor(docId, body + ("relleno de pagina " * 200))
+      java.util.Arrays.copyOfRange(whole, 0, (whole.length * 2) / 5)
+    }
+  }
+
+  /** HTML page with boilerplate around the real content. */
+  def htmlFor(docId: Long, body: String): Array[Byte] = {
+    val paras = body.split('\n').filter(_.nonEmpty)
+      .map(p => s"<p>${escapeHtml(p)}</p>").mkString("\n      ")
+    val navLinks = (0 until 8)
+      .map(i => s"""<a href="/cat/$i">Category $i news and updates</a>""")
+      .mkString("<li>", "</li><li>", "</li>")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>Document $docId</title>
+         |<meta charset="utf-8"><script>var x = ${docId};</script>
+         |<style>.main { color: #222; }</style></head>
+         |<body>
+         |  <header><nav><ul>$navLinks</ul></nav></header>
+         |  <div id="sidebar"><ul>$navLinks</ul>
+         |    <a href="/ads">Sponsored content click here win big</a></div>
+         |  <div id="main" class="main">
+         |      $paras
+         |  </div>
+         |  <footer><a href="/about">About</a> <a href="/tos">Terms</a>
+         |    <p>© 2024 Example Org. All rights reserved.</p></footer>
+         |</body></html>""".stripMargin
+    html.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Kind selector: 0-7 html, 8-15 text pdf, 16-17 scanned, 18 corrupt,
+    * 19 upstream-text. */
+  def kindFor(docId: Long): String = (docId % 20) match {
+    case k if k <= 7 => "html"
+    case k if k <= 15 => "pdf"
+    case 16 | 17 => "scanned"
+    case 18 => "corrupt"
+    case _ => "upstream"
+  }
+
+  case class SynthPage(url: String, warc_ts: Timestamp, html: Array[Byte],
+                       text: String, lang: String)
+
+  def pageFor(docId: Long, docText: String, lang: String): SynthPage = {
+    val body = bodyFor(docId, docText)
+    val (html, upstream) = kindFor(docId) match {
+      case "html" => (htmlFor(docId, body), null)
+      case "pdf" => (textPdfFor(docId, body), null)
+      case "scanned" => (scannedPdfFor(docId, body), null)
+      case "corrupt" => (corruptPdfFor(docId, body), null)
+      case _ => (htmlFor(docId, body), body)
+    }
+    SynthPage(urlFor(docId), new Timestamp(WarcBase + docId * 1000L),
+      html, upstream, lang)
+  }
+
+  /** The pages table as a DataFrame, synthesized lazily from
+    * `{sfDir}/documents.parquet`. Column pruning still applies upstream
+    * (only doc_id/text/lang are read). */
+  def pagesDF(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) => pageFor(id, text, lang) }
+      .toDF()
+  }
+
+  /** Materialize the pages table once per (sfDir, workRoot) as parquet —
+    * benches and repeated queries then read columnar storage instead of
+    * re-synthesizing. Atomic via rename; safe to call concurrently
+    * within one JVM. */
+  def ensurePages(spark: SparkSession, sfDir: String,
+                  workRoot: String = "/tmp/graft_pages"): String = synchronized {
+    val sfName = new java.io.File(sfDir).getName
+    val dest = new java.io.File(workRoot, sfName)
+    val marker = new java.io.File(dest, "_SUCCESS")
+    if (!marker.exists()) {
+      val tmp = new java.io.File(workRoot, s".tmp_$sfName")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      pagesDF(spark, sfDir).write.mode("overwrite").parquet(tmp.getPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(dest)
+      if (!tmp.renameTo(dest))
+        throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    }
+    dest.getPath
+  }
+}

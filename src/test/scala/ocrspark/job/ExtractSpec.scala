@@ -1,0 +1,186 @@
+package ocrspark.job
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import ocrspark.model.RawPage
+import ocrspark.parse.{PdfExtract, PdfWriter}
+import ocrspark.route.Analyze
+import ocrspark.text.{Confidence, PageAssembly}
+
+class ExtractSpec extends AnyFunSuite {
+
+  // ---- routing goldens (FIXTURES.md §4, app.py:288-297) -------------
+  private def docWith(pageTexts: Seq[String], pageCount: Int,
+                      images: Boolean): PdfExtract.Doc = {
+    val pages = (1 to pageCount).map { i =>
+      val t = if (i <= pageTexts.length) pageTexts(i - 1) else ""
+      PdfExtract.Page(i, Vector.empty, t, hasImage = images && i <= 3, null)
+    }.toVector
+    PdfExtract.Doc(pageCount, pages)
+  }
+
+  test("routing: ≥800 chars, no images → text_extraction/0.9") {
+    // one page of exactly 800 chars (after ws-normalize + concat/strip)
+    val a = Analyze.analyzePdf(Right(docWith(Seq("x" * 800), 1, images = false)), 0.1)
+    assert(a.text_length == 800)
+    assert(a.processing_recommendation == "text_extraction")
+    assert(a.confidence == 0.9)
+    assert(a.has_text)
+  }
+
+  test("routing: 800 chars WITH images, density 800 → hybrid/0.7") {
+    val a = Analyze.analyzePdf(Right(docWith(Seq("x" * 800), 1, images = true)), 0.1)
+    assert(a.processing_recommendation == "hybrid")
+    assert(a.confidence == 0.7)
+  }
+
+  test("routing: 799 chars, density ≤100 → ocr; density >100 → hybrid") {
+    // 8 pages → density 799/8 ≈ 100 → ocr
+    val low = Analyze.analyzePdf(Right(docWith(Seq("x" * 799), 8, images = false)), 0.1)
+    assert(low.processing_recommendation == "ocr")
+    assert(low.confidence == 0.8)
+    // 1 page → density 799 > 100 → hybrid
+    val hi = Analyze.analyzePdf(Right(docWith(Seq("x" * 799), 1, images = false)), 0.1)
+    assert(hi.processing_recommendation == "hybrid")
+  }
+
+  test("routing: 199 chars high density → ocr (length gate)") {
+    val a = Analyze.analyzePdf(Right(docWith(Seq("x" * 199), 1, images = false)), 0.1)
+    assert(a.processing_recommendation == "ocr")
+  }
+
+  test("routing: exactly 200 chars, density must EXCEED 100") {
+    // 2 pages → density 100.0 exactly → NOT hybrid
+    val a = Analyze.analyzePdf(Right(docWith(Seq("x" * 200), 2, images = false)), 0.1)
+    assert(a.processing_recommendation == "ocr")
+  }
+
+  test("routing: only first 3 pages sampled; density over full count") {
+    // 4 pages × 300 chars each, but only 3 sampled → 300*3+2 spaces = 902
+    val a = Analyze.analyzePdf(
+      Right(docWith(Seq("x" * 300, "y" * 300, "z" * 300, "w" * 300), 4, images = false)), 0.1)
+    assert(a.text_length == 902)
+    assert(a.text_density == 902.0 / 4)
+    assert(a.processing_recommendation == "text_extraction")
+  }
+
+  test("routing: parse failure → ocr with confidence 0.0") {
+    val a = Analyze.analyzePdf(Left("boom"), 0.5)
+    assert(a.processing_recommendation == "ocr")
+    assert(a.confidence == 0.0)
+    assert(a.file_size_mb == 0.5)
+  }
+
+  test("routing: has_text iff text_length > 50") {
+    val a50 = Analyze.analyzePdf(Right(docWith(Seq("x" * 50), 1, images = false)), 0.1)
+    assert(!a50.has_text)
+    val a51 = Analyze.analyzePdf(Right(docWith(Seq("x" * 51), 1, images = false)), 0.1)
+    assert(a51.has_text)
+  }
+
+  // ---- page assembly (FIXTURES.md §3) -------------------------------
+  test("text path: blank page contributes nothing, failed page a placeholder") {
+    val pages = Seq(
+      RawPage(1, "uno", null),
+      RawPage(2, "   \n ", null), // blank → skipped entirely
+      RawPage(3, null, "broken stream"))
+    val text = PageAssembly.assembleTextPath(pages, "es")
+    assert(text ==
+      "\n\n--- Página 1 de 3 ---\n\nuno" +
+        "\n\n--- Página 3 de 3 ---\n\n[Error extrayendo texto de la página 3]")
+  }
+
+  test("OCR path: every page gets a separator; missing → no-procesada; error appends") {
+    import ocrspark.model.PageResult
+    val text = PageAssembly.assembleOcrPath(
+      Seq(PageResult(1, "alpha", 80.0, null),
+        PageResult(3, "gamma", 70.0, "worker died")), 3)
+    assert(text ==
+      "\n\n--- Página 1 de 3 ---\n\nalpha" +
+        "\n\n--- Página 2 de 3 ---\n\n[Página no procesada]" +
+        "\n\n--- Página 3 de 3 ---\n\ngamma\n[ERROR: worker died]")
+  }
+
+  test("confidence: >60 gate and max(1,n) guard; text path constant 95") {
+    assert(Confidence.documentConfidence(Seq(80.0, 61.0, 60.0, 10.0)) ==
+      ((80.0 + 61.0) / 2, 2))
+    assert(Confidence.documentConfidence(Seq(10.0, 60.0)) == (0.0, 0))
+    assert(Confidence.TextPathConfidence == 95.0)
+    assert(Confidence.pageConfidence("", null) == 50.0)
+    assert(Confidence.pageConfidence("abc", "err") == 0.0)
+  }
+
+  // ---- end-to-end per-row extraction --------------------------------
+  private val longBody =
+    ("Contenido legal de prueba con suficiente texto para superar el " +
+      "umbral de extraccion directa. ") * 12 // > 800 chars
+
+  test("e2e: text PDF routes text_extraction, normalizes, extracts fields") {
+    val body = Synth.bodyFor(0L, longBody) // doc 0 gets legal header 0
+    val pdf = Synth.textPdfFor(0L, body)
+    val r = Extract.extractDocument(pdf, null, "es")
+    assert(r.method == Extract.MethodText)
+    assert(r.route == "text_extraction")
+    assert(r.confidence == 95.0)
+    assert(r.error == null)
+    assert(r.text.startsWith("\n\n--- Página 1 de "))
+    // normalization applied: MlNlSTERlO → MINISTERIO, PUBLICO → PÚBLICO
+    assert(r.text.contains("MINISTERIO PÚBLICO"))
+    assert(r.fields.get("carpeta_fiscal").contains("5006014504-2024-215-0"))
+    assert(r.fields.get("imputado").contains("JUAN CARLOS QUISPE MAMANI"))
+    assert(r.fields.get("delito").exists(_.startsWith("CONTRA EL PATRIMONIO")))
+  }
+
+  test("e2e: scanned PDF routes ocr/hybrid via advanced_ocr with separators") {
+    val pdf = Synth.scannedPdfFor(16L, longBody)
+    val r = Extract.extractDocument(pdf, null, "es")
+    assert(r.method == Extract.MethodOcr)
+    assert(Set("ocr", "hybrid").contains(r.route))
+    assert(r.pages >= 1)
+    (1 to r.pages).foreach { p =>
+      assert(r.text.contains(s"--- Página $p de ${r.pages} ---"))
+    }
+    assert(r.low_confidence_pages == r.pages - r.processed_pages)
+  }
+
+  test("e2e: corrupt PDF yields a typed error row") {
+    val r = Extract.extractDocument(Synth.corruptPdfFor(18L, longBody), null, "es")
+    // either doc-level error or parsed-with-page-errors; never a throw
+    assert(r.error != null || r.text.contains("[Error"))
+  }
+
+  test("e2e: HTML page extracts main content, drops boilerplate") {
+    val r = Extract.extractDocument(Synth.htmlFor(7L, longBody), null, "es")
+    assert(r.method == Extract.MethodHtml)
+    assert(r.text.contains("Contenido legal de prueba"))
+    assert(!r.text.contains("Sponsored"))
+    assert(r.error == null)
+  }
+
+  test("e2e: upstream text wins over html payload") {
+    val r = Extract.extractDocument(Synth.htmlFor(19L, "ignored"),
+      "texto  upstream\n\n\ncon espacios", "es")
+    assert(r.method == Extract.MethodUpstream)
+    assert(r.text == "TEXTO upstream con espacios".replace("TEXTO", "texto"))
+    assert(r.confidence == 95.0)
+  }
+
+  test("e2e: null/empty payload → error result, no throw") {
+    assert(Extract.extractDocument(null, null, "es").error != null)
+    assert(Extract.extractDocument(Array.emptyByteArray, null, "es").error != null)
+  }
+
+  test("synth determinism: same doc_id → identical bytes") {
+    val a = Synth.pageFor(123L, longBody, "es")
+    val b = Synth.pageFor(123L, longBody, "es")
+    assert(java.util.Arrays.equals(a.html, b.html))
+    assert(a.url == b.url)
+    assert(a.warc_ts == b.warc_ts)
+  }
+
+  test("synth: zipfian hosts are skewed") {
+    val counts = (0L until 2000L).map(Synth.hostFor)
+      .groupBy(identity).map(_._2.size)
+    assert(counts.max > 5 * counts.min, s"max=${counts.max} min=${counts.min}")
+  }
+}

@@ -1,0 +1,97 @@
+package ocrspark.parse
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ParseSpec extends AnyFunSuite {
+
+  test("PDF round trip: text written is text parsed, page per page") {
+    val pages = Seq(
+      PdfWriter.PageSpec(Vector(Vector("hola mundo", "segunda linea"),
+        Vector("bloque dos"))),
+      PdfWriter.PageSpec(Vector(Vector("pagina dos"))))
+    for (compress <- Seq(true, false)) {
+      val bytes = PdfWriter.build(pages, compress)
+      val doc = PdfExtract.parse(bytes).fold(e => fail(s"parse: $e"), identity)
+      assert(doc.pageCount == 2)
+      assert(doc.pages(0).text == "hola mundo\nsegunda linea\nbloque dos")
+      assert(doc.pages(1).text == "pagina dos")
+      assert(doc.pages.forall(_.error == null))
+      // layout: first page has two blocks at distinct descending y
+      assert(doc.pages(0).blocks.size == 2)
+      assert(doc.pages(0).blocks(0).y > doc.pages(0).blocks(1).y)
+    }
+  }
+
+  test("PDF round trip: non-Latin-1 text via UTF-16BE hex strings") {
+    val s = "PENAЛ y FISCALÍA — 中文 test ( ) \\ backslash"
+    val bytes = PdfWriter.build(Seq(PdfWriter.PageSpec(Vector(Vector(s)))))
+    val doc = PdfExtract.parse(bytes).toOption.get
+    assert(doc.pages(0).text == s)
+  }
+
+  test("PDF escaped literal strings round trip") {
+    val s = "parens (nested) and \\ backslash"
+    val bytes = PdfWriter.build(Seq(PdfWriter.PageSpec(Vector(Vector(s)))),
+      compress = false)
+    val doc = PdfExtract.parse(bytes).toOption.get
+    assert(doc.pages(0).text == s)
+  }
+
+  test("image XObject detection per page") {
+    val bytes = PdfWriter.build(Seq(
+      PdfWriter.PageSpec(Vector(Vector("text")), hasImage = false),
+      PdfWriter.PageSpec(Vector(Vector("scan")), hasImage = true)))
+    val doc = PdfExtract.parse(bytes).toOption.get
+    assert(!doc.pages(0).hasImage)
+    assert(doc.pages(1).hasImage)
+  }
+
+  test("truncated PDF fails at document or page level, not with a throw") {
+    val whole = PdfWriter.build(Seq(
+      PdfWriter.PageSpec(Vector(Vector("a" * 100))),
+      PdfWriter.PageSpec(Vector(Vector("b" * 100)))))
+    (1 until 10).foreach { tenth =>
+      val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length * tenth / 10)
+      PdfExtract.parse(cut) match {
+        case Left(msg) => assert(msg != null)
+        case Right(doc) => // partial parse OK as long as errors are typed
+          assert(doc.pages.forall(p => p.error != null || p.text != null))
+      }
+    }
+  }
+
+  test("non-PDF bytes → Left") {
+    assert(PdfExtract.parse("not a pdf".getBytes).isLeft)
+    assert(PdfExtract.parse(Array.emptyByteArray).isLeft)
+  }
+
+  test("HTML: Arc90 picks main content, strips nav/footer/script/style") {
+    val para = "Contenido principal del documento con suficiente texto " * 5
+    val html = new String(ocrspark.job.Synth.htmlFor(7L, para + "\nSegundo parrafo largo con mas contenido real aqui."),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val r = HtmlExtract.extractMain(html)
+    assert(r.text.contains("Contenido principal"))
+    assert(r.text.contains("Segundo parrafo"))
+    assert(!r.text.contains("Sponsored"))
+    assert(!r.text.contains("Category 3"))
+    assert(!r.text.contains("var x"))
+    assert(!r.text.contains("All rights reserved"))
+    assert(r.title == "Document 7")
+    assert(r.nodeCount > 10)
+    assert(r.score > 0)
+  }
+
+  test("HTML entities decode; unknown entities pass through") {
+    assert(HtmlExtract.decodeEntities("a &amp; b &lt;c&gt; &aacute;&ntilde;") ==
+      "a & b <c> áñ")
+    assert(HtmlExtract.decodeEntities("&#65;&#x42;") == "AB")
+    assert(HtmlExtract.decodeEntities("&bogus; &noend") == "&bogus; &noend")
+  }
+
+  test("HTML parser tolerates unclosed and mismatched tags") {
+    val r = HtmlExtract.extractMain(
+      "<html><body><div><p>uno<p>dos</div><b>tres</body>")
+    assert(r.text.contains("uno"))
+    assert(r.text.contains("dos"))
+  }
+}
