@@ -104,6 +104,21 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // O12: snapshot-commit + resume — partial run (buckets <20), then a
+    // resumed full run; output is the final lineage. Deterministic:
+    // bucket provenance must show snapshot 1 for <20 and 2 for the rest.
+    "o12_resume_lineage" -> ((s, dir) => {
+      val table = new ocrspark.lake.LakeTable(
+        java.nio.file.Files.createTempDirectory("graft_lake").toString)
+      val pages = ocrspark.job.Synth.pagesDF(s, dir)
+      ocrspark.job.IncrementalExtract.run(s,
+        pages.filter(ocrspark.job.ExtractJob.bucketCol(64) < 20), table)
+      ocrspark.job.IncrementalExtract.run(s, pages, table)
+      table.lineage(s)
+        .select(col("bucket"), col("snapshot_id"), col("n_docs"))
+        .orderBy(col("bucket"))
+    }),
+
     // J1: broadcast-dim equi-join + aggregation (diff-join machinery
     // building block, SURVEY.md §2.3): revenue per customer market segment.
     "j1_join_agg" -> ((s, dir) => {

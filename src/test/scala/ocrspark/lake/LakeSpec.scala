@@ -1,0 +1,105 @@
+package ocrspark.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import ocrspark.job.{ExtractJob, IncrementalExtract, Synth}
+
+/** Snapshot-commit + resume semantics (north rule: resume from last
+  * committed snapshot without recomputing finished partitions). */
+class LakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+  def freshTable(): LakeTable =
+    new LakeTable(Files.createTempDirectory("lake").toString)
+
+  lazy val pages = {
+    val df = Synth.pagesDF(spark, sfDir)
+    df.cache(); df.count(); df
+  }
+
+  test("full run commits snapshot 1; read() sees exactly the extracted rows") {
+    val t = freshTable()
+    val s = IncrementalExtract.run(spark, pages, t)
+    assert(s.snapshotId == 1L)
+    assert(!s.noop)
+    assert(s.docsProcessed == 500L)
+    assert(t.read(spark).count() == 500L)
+    val lineage = t.lineage(spark)
+    import spark.implicits._
+    assert(lineage.agg(org.apache.spark.sql.functions.sum($"n_docs"))
+      .as[Long].collect()(0) == 500L)
+    assert(lineage.count() == s.bucketsWritten.toLong)
+  }
+
+  test("re-run on a fully committed table is a no-op (idempotence)") {
+    val t = freshTable()
+    IncrementalExtract.run(spark, pages, t)
+    val s2 = IncrementalExtract.run(spark, pages, t)
+    assert(s2.noop)
+    assert(t.currentSnapshotId.contains(1L))
+    assert(t.read(spark).count() == 500L)
+  }
+
+  test("resume after partial commit touches ONLY uncommitted buckets") {
+    import spark.implicits._
+    val t = freshTable()
+    val nB = ExtractJob.DefaultBuckets
+    // first run: only buckets < 20 (simulated partial job)
+    val partial = pages.filter(ExtractJob.bucketCol(nB) < 20)
+    val s1 = IncrementalExtract.run(spark, partial, t)
+    assert(t.committedBuckets.forall(_ < 20))
+    val committedDocs = t.read(spark).count()
+
+    // resume with FULL input
+    val s2 = IncrementalExtract.run(spark, pages, t)
+    assert(s2.snapshotId == 2L)
+    // no recompute: processed docs == docs outside committed buckets
+    assert(s2.docsProcessed == 500L - committedDocs)
+    // provenance: buckets <20 still credited to snapshot 1
+    val added = t.lineage(spark)
+      .select($"bucket", $"snapshot_id").as[(Int, Long)].collect().toMap
+    added.foreach { case (b, snap) =>
+      assert(snap == (if (b < 20) 1L else 2L), s"bucket $b added=$snap")
+    }
+    assert(t.read(spark).count() == 500L)
+    // byte-level equal to a one-shot run (same rows, same text)
+    val oneShot = ExtractJob.run(pages)
+    val diff = t.read(spark).select($"url", $"text")
+      .join(oneShot.select($"url", $"text".as("t2")), Seq("url"), "full_outer")
+      .filter(!($"text" <=> $"t2")).count()
+    assert(diff == 0L)
+  }
+
+  test("uncommitted staged files are invisible to readers") {
+    val t = freshTable()
+    IncrementalExtract.run(spark, pages, t)
+    // orphan staging dir (simulated crashed writer)
+    val orphan = new java.io.File(t.stagingDir(99), "bucket=3")
+    orphan.mkdirs()
+    Files.write(new java.io.File(orphan, "junk.parquet").toPath,
+      "not parquet".getBytes)
+    assert(t.read(spark).count() == 500L)
+    assert(t.currentSnapshotId.contains(1L))
+  }
+
+  test("commit chain: snapshots are monotone and parent-linked") {
+    val t = freshTable()
+    val s1 = IncrementalExtract.run(spark,
+      pages.filter(ExtractJob.bucketCol(64) < 10), t)
+    val s2 = IncrementalExtract.run(spark, pages, t)
+    val snap2 = t.snapshot(2)
+    assert(snap2.parent == 1L)
+    assert(t.lineageHistory(spark).count() >=
+      t.lineage(spark).count())
+  }
+}
