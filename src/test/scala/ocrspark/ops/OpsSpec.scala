@@ -1,0 +1,247 @@
+package ocrspark.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val docs = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.cache(); d.count(); d
+  }
+  lazy val corpus = {
+    val c = DedupCorpus.withPlantedDups(docs)
+    c.cache(); c.count(); c
+  }
+  lazy val emb = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    e.cache(); e.count(); e
+  }
+
+  // ---------------- exact dedup ----------------
+  test("exact dedup removes exactly the planted exact copies") {
+    import spark.implicits._
+    val survivors = Dedup.exactDedup(corpus, "doc_id", "text")
+    val survivorIds = survivors.select($"doc_id").as[Long].collect().toSet
+    val planted = docs.select($"doc_id").as[Long].collect()
+      .filter(_ % 11 == 0).map(_ + DedupCorpus.ExactOffset).toSet
+    // all planted exact copies removed; originals kept
+    assert(planted.intersect(survivorIds).isEmpty)
+    assert(survivors.count() == corpus.count() - planted.size)
+  }
+
+  // ---------------- minhash LSH ----------------
+  test("minhash-LSH finds planted near-dups with high recall and sane precision") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    val nearTruth = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect()
+      .filter { case (id, t) => id % 7 == 0 && t != null && t.length > 100 }
+      .map { case (id, _) => (id, id + DedupCorpus.NearOffset) }.toSet
+    assert(nearTruth.nonEmpty)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recall = nearTruth.count(found.contains).toDouble / nearTruth.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // precision against EXACT shingle jaccard (the documents table
+    // contains genuine near-dups of its own, so planted ids alone are
+    // not the full truth): every est ≥ 0.7 pair must verify ≥ 0.55.
+    val texts = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    def exactJ(x: Long, y: Long): Double = {
+      val sa = Dedup.shingleHashes(texts(x)).toSet
+      val sb = Dedup.shingleHashes(texts(y)).toSet
+      sa.intersect(sb).size.toDouble / math.max(1, sa.union(sb).size)
+    }
+    val verified = found.count { case (x, y) => exactJ(x, y) >= 0.55 }
+    val precision = verified.toDouble / math.max(1, found.size)
+    assert(precision >= 0.95, s"precision=$precision (found ${found.size})")
+  }
+
+  test("minhash estimate tracks exact jaccard on identical and disjoint docs") {
+    val a = Dedup.minhashImpl("identical text body for hashing and more words here")
+    val b = Dedup.minhashImpl("identical text body for hashing and more words here")
+    val c = Dedup.minhashImpl("zq zw ze zr zt zy zu zi zo zp completely other")
+    assert(Dedup.estJaccardImpl(a, b) == 1.0)
+    assert(Dedup.estJaccardImpl(a, c) < 0.2)
+  }
+
+  // ---------------- simhash ----------------
+  test("simhash: exact copies at hamming 0; near copies close; pairs found") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    assert(Dedup.simhashImpl(t) == Dedup.simhashImpl(t))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    val exactTruth = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter { case (id, t0) => id % 11 == 0 && t0 != null }
+      .map { case (id, _) => (id, id + DedupCorpus.ExactOffset) }.toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val exactRecall = exactTruth.count(found.contains).toDouble / exactTruth.size
+    assert(exactRecall == 1.0, s"exact-copy recall=$exactRecall")
+    // exact copies must be at distance 0
+    pairs.filter(p => exactTruth.contains((p._1, p._2)))
+      .foreach(p => assert(p._3 == 0))
+  }
+
+  // ---------------- ngram jaccard ----------------
+  test("ngram-jaccard rescoring keeps planted pairs above 0.6") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      candidateThreshold = 0.5, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    val nearTruth = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect()
+      .filter { case (id, t) => id % 7 == 0 && t != null && t.length > 100 }
+      .map { case (id, _) => (id, id + DedupCorpus.NearOffset) }.toSet
+    val found = pairs.map(p => (p._2, p._1)).toSet ++ pairs.map(p => (p._1, p._2)).toSet
+    val recall = nearTruth.count(found.contains).toDouble / nearTruth.size
+    assert(recall >= 0.85, s"recall=$recall")
+  }
+
+  // ---------------- embeddings: ANN + near-dup ----------------
+  test("brute-force top-k is deterministic, ranked, and self-excluding") {
+    import spark.implicits._
+    val r = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 5)
+    val rows = r.as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 15)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to 5))
+      assert(g.forall(x => x._2 != x._1))
+      // ranks ordered by cosine desc
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force on clustered data") {
+    import spark.implicits._
+    // deterministic clustered corpus: 40 centroids × 25 members in R^32
+    // (ANN recall is only meaningful when neighbors actually cluster;
+    // uniform-random embeddings have no structure to exploit)
+    def unit(seed: Long, j: Int): Float = {
+      var z = seed * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 31
+      ((z >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+    }
+    val dim = 32
+    val data = (0 until 1000).map { i =>
+      val c = i % 40
+      val v = Array.tabulate(dim)(j => unit(c + 7L, j) + 0.15f * unit(i + 9999L, j))
+      (i.toLong, v)
+    }
+    val df = spark.createDataset(data).toDF("vec_id", "embedding")
+    val queries = (0L until 20L).toSeq
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(df, "vec_id", "embedding", queries, 10,
+      planes = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("embedding near-dups: planted perturbed copies are found") {
+    import spark.implicits._
+    val base = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().take(50)
+    val planted = base.map { case (id, v) =>
+      (id + 10000L, v.map(x => x + 0.001f))
+    }
+    val all = spark.createDataset(base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(all, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    val truth = base.map { case (id, _) => (id, id + 10000L) }.toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  // ---------------- text ops ----------------
+  test("token counts: ws and bpe-ish") {
+    import spark.implicits._
+    val df = Seq("one two  three", "a-b c!", "", "  ").toDF("text")
+    val ws = df.select(TextOps.wsTokenCount($"text")).as[Int].collect().toSeq
+    assert(ws == Seq(3, 2, 0, 0))
+    val bpe = df.select(TextOps.bpeTokenCount($"text")).as[Int].collect().toSeq
+    assert(bpe == Seq(3, 5, 0, 0)) // a,-,b,c,!
+  }
+
+  test("language id on authored snippets") {
+    assert(TextOps.languageIdImpl(
+      "the cat is in the house and it is warm with the fire") == "en")
+    assert(TextOps.languageIdImpl(
+      "el gato es de la casa y que es por una de las cosas") == "es")
+    assert(TextOps.languageIdImpl(
+      "der Hund ist nicht in die Stadt und das ist mit ein Auto") == "de")
+    assert(TextOps.languageIdImpl(
+      "le chat est dans les maisons et une pour des amis sur la table") == "fr")
+    assert(TextOps.languageIdImpl("这是一个中文测试文档内容") == "zh")
+    assert(TextOps.languageIdImpl("qqq www eee rrr") == "und")
+    assert(TextOps.languageIdImpl("") == "und")
+    assert(TextOps.languageIdImpl(null) == "und")
+  }
+
+  test("fingerprint is whitespace-insensitive and discriminative") {
+    val a = TextOps.fingerprintImpl("hola mundo este es un documento de prueba")
+    val b = TextOps.fingerprintImpl("hola   mundo\neste es\tun documento   de prueba")
+    val c = TextOps.fingerprintImpl("otro documento totalmente distinto en contenido")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("quality score in [0,1]; prose beats punctuation soup") {
+    import spark.implicits._
+    val prose = "The report describes the data in a clear and useful way " * 10
+    val junk = "!!! ??? ### ||| @@@ %%% ^^^ &&& *** ((( )))" * 5
+    val df = Seq(prose, junk).toDF("text")
+    val scores = df.select(TextOps.qualityScore($"text")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1) + 0.3)
+  }
+
+  // ---------------- multimodal ----------------
+  test("media metadata: deterministic stub decode with real plumbing") {
+    import spark.implicits._
+    val pdf = ocrspark.job.Synth.textPdfFor(8L, "contenido de prueba " * 50)
+    val df = Seq((1L, pdf), (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G')),
+      (3L, Array.emptyByteArray), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val meta = Multimodal.withMediaMetadata(df, "id", "payload")
+    val rows = meta.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("kind")).toMap
+    assert(rows(1L) == "application/pdf")
+    assert(rows(2L) == "image/png")
+    assert(rows(3L) == "empty")
+    assert(rows(4L) == "empty")
+    // determinism
+    val again = Multimodal.withMediaMetadata(df, "id", "payload")
+    assert(meta.exceptAll(again).count() == 0)
+  }
+
+  test("frame sampling and resize plan arithmetic") {
+    import spark.implicits._
+    val meta = Seq((1L, 10, 400, 300), (2L, 1, 2000, 1000))
+      .toDF("id", "n_frames", "width", "height")
+    val frames = Multimodal.sampleFrames(meta, "id", 3)
+    assert(frames.filter($"id" === 1L).count() == 4) // 0,3,6,9
+    assert(frames.filter($"id" === 2L).count() == 1)
+    val plan = Multimodal.resizePlan(meta, 512)
+    val r2 = plan.filter($"id" === 2L).collect()(0)
+    assert(r2.getAs[Int]("out_w") == 512)
+    assert(r2.getAs[Int]("out_h") == 256)
+    val r1 = plan.filter($"id" === 1L).collect()(0)
+    assert(r1.getAs[Int]("out_w") == 400) // no upscale
+  }
+}
