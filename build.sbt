@@ -23,8 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Throughput-oriented JVM defaults for the text-extraction workload
+// (high allocation rate, 32 executor threads): ParallelGC + a large
+// young gen measurably beat G1 here; overridable via env.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ sys.env.getOrElse("GRAFT_GC", "-XX:+UseParallelGC -Xmn8g")
+  .split(" ").toSeq.filter(_.nonEmpty)

@@ -41,20 +41,26 @@ object ExtractJob {
 
   /** pages(url, warc_ts, html, text, lang) → extracted table
     * (FIXTURES.md §1.2). `repartitionTasks` sizes the shuffle: pass
-    * cores×2..4 locally; on a real cluster, executors×cores×2. */
+    * cores×2..4 locally; on a real cluster, executors×cores×2.
+    *
+    * Stage order matters at 100 TB: extraction runs in the SCAN stage
+    * (map-side, before any exchange), so the one shuffle carries only
+    * the extracted output (text + fields + metadata — typically ≪ raw
+    * html payload), grouped by (bucket, salt) for the bucketed lineage
+    * write. Per-task input balance comes from parquet split sizing
+    * (`spark.sql.files.maxPartitionBytes`); the salt balances the write
+    * so one hot bucket cannot serialize into one reducer. */
   def run(pages: DataFrame, nBuckets: Int = DefaultBuckets,
           nSalts: Int = DefaultSalts,
           repartitionTasks: Option[Int] = None): DataFrame = {
-    val bucketed = pages
-      .withColumn("bucket", bucketCol(nBuckets))
-      .withColumn("salt", saltCol(nSalts))
     val parts = repartitionTasks.getOrElse(
       pages.sparkSession.sessionState.conf.numShufflePartitions)
-    bucketed
-      .repartition(parts, col("bucket"), col("salt"))
+    pages
       .withColumn("r", extractUdf(col("html"), col("text"), col("lang")))
+      .withColumn("bucket", bucketCol(nBuckets))
+      .withColumn("salt", saltCol(nSalts))
       .select(
-        col("url"), col("warc_ts"), col("lang"), col("bucket"),
+        col("url"), col("warc_ts"), col("lang"), col("bucket"), col("salt"),
         col("r.text").as("text"), col("r.fields").as("fields"),
         col("r.method").as("method"), col("r.pages").as("pages"),
         col("r.confidence").as("confidence"),
@@ -62,6 +68,8 @@ object ExtractJob {
         col("r.low_confidence_pages").as("low_confidence_pages"),
         col("r.route").as("route"),
         col("r.error").as("error"))
+      .repartition(parts, col("bucket"), col("salt"))
+      .drop("salt")
   }
 
   /** The /analyze-shaped metadata query (SURVEY.md §3.3): routing

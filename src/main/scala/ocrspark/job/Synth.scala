@@ -201,14 +201,31 @@ object Synth {
 
   /** The pages table as a DataFrame, synthesized lazily from
     * `{sfDir}/documents.parquet`. Column pruning still applies upstream
-    * (only doc_id/text/lang are read). */
-  def pagesDF(spark: SparkSession, sfDir: String): DataFrame = {
+    * (only doc_id/text/lang are read). `replicate` fans each document
+    * out to N distinct pages (distinct doc ids → distinct urls/bodies) —
+    * used to size bench corpora; correctness queries use the default 1
+    * so their outputs stay stable. */
+  def pagesDF(spark: SparkSession, sfDir: String,
+              replicate: Int = 1): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
       .as[(Long, String, String)]
-      .map { case (id, text, lang) => pageFor(id, text, lang) }
-      .toDF()
+    val fanned =
+      if (replicate <= 1) base
+      else base.flatMap { case (id, text, lang) =>
+        (0 until replicate).map(r => (id + r * 10000000L, text, lang))
+      }
+    // documents.parquet is a single file (one input split): spread the
+    // generator across the session's parallelism — deterministic hash
+    // repartition on doc_id, NOT round-robin.
+    val parts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    fanned.toDF("doc_id", "text", "lang")
+      .repartition(parts, $"doc_id")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) => pageFor(id, text, lang) }.toDF()
   }
 
   /** Materialize the pages table once per (sfDir, workRoot) as parquet —
@@ -216,14 +233,20 @@ object Synth {
     * re-synthesizing. Atomic via rename; safe to call concurrently
     * within one JVM. */
   def ensurePages(spark: SparkSession, sfDir: String,
-                  workRoot: String = "/tmp/graft_pages"): String = synchronized {
-    val sfName = new java.io.File(sfDir).getName
+                  workRoot: String = "/tmp/graft_pages",
+                  replicate: Int = 1): String = synchronized {
+    val sfName = new java.io.File(sfDir).getName +
+      (if (replicate > 1) s"_x$replicate" else "")
     val dest = new java.io.File(workRoot, sfName)
     val marker = new java.io.File(dest, "_SUCCESS")
     if (!marker.exists()) {
       val tmp = new java.io.File(workRoot, s".tmp_$sfName")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      pagesDF(spark, sfDir).write.mode("overwrite").parquet(tmp.getPath)
+      // many files → many input splits: a single parquet file would cap
+      // the downstream scan stage at one task regardless of cores.
+      pagesDF(spark, sfDir, replicate)
+        .repartition(64, col("url")).sortWithinPartitions("url")
+        .write.mode("overwrite").parquet(tmp.getPath)
       org.apache.commons.io.FileUtils.deleteQuietly(dest)
       if (!tmp.renameTo(dest))
         throw new java.io.IOException(s"rename $tmp -> $dest failed")

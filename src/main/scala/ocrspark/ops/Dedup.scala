@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // precompiled hot-path patterns
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private val NonWord = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
   // ------------------------------------------------------------------
   // exact dedup: hash-groupBy, keep the smallest id per text hash
   // ------------------------------------------------------------------
@@ -61,7 +65,7 @@ object Dedup {
 
   /** Character 5-gram shingle hashes of ws-normalized lowercase text. */
   private[ops] def shingleHashes(text: String): Array[Long] = {
-    val s = text.replaceAll("\\s+", " ").trim
+    val s = WsRun.matcher(text).replaceAll(" ").trim
       .toLowerCase(java.util.Locale.ROOT)
     val k = 5
     if (s.length < k) return Array(s.hashCode.toLong)
@@ -148,7 +152,7 @@ object Dedup {
   def simhashImpl(text: String): Long = {
     if (text == null) return 0L
     val counts = new Array[Int](64)
-    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+")
+    NonWord.split(text.toLowerCase(java.util.Locale.ROOT))
       .foreach { tok =>
         if (tok.nonEmpty) {
           var h = tok.hashCode.toLong * 0x9E3779B97F4A7C15L
@@ -204,8 +208,8 @@ object Dedup {
   /** Word 3-gram set hashes (row-local). */
   def ngramSetImpl(text: String): Array[Long] = {
     if (text == null) return Array.empty
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val toks = NonWord.split(text.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
     if (toks.length < 3) return toks.map(_.hashCode.toLong).distinct
     (0 to toks.length - 3).map { i =>
       (toks(i), toks(i + 1), toks(i + 2)).hashCode.toLong

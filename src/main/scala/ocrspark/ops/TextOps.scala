@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // precompiled hot-path patterns (per-call String.replaceAll/split
+  // recompiles — measurable at 32 threads)
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private val NonLetter = java.util.regex.Pattern.compile("[^\\p{L}]+")
+
   // ------------------------------------------------------------------
   // token counting
   // ------------------------------------------------------------------
@@ -107,8 +112,8 @@ object TextOps {
       i += 1
     }
     if (letters > 0 && cjk * 10 >= letters) return "zh"
-    val tokens = text.substring(0, n).toLowerCase(java.util.Locale.ROOT)
-      .split("[^\\p{L}]+")
+    val tokens = NonLetter.split(text.substring(0, n)
+      .toLowerCase(java.util.Locale.ROOT))
     if (tokens.isEmpty) return "und"
     var best = "und"
     var bestHits = 0
@@ -131,7 +136,7 @@ object TextOps {
     * formatting-only edits keep the same fingerprint. */
   def fingerprintImpl(text: String): Long = {
     if (text == null) return 0L
-    val s = text.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    val s = WsRun.matcher(text).replaceAll(" ").trim.toLowerCase(java.util.Locale.ROOT)
     val k = 8
     if (s.length < k) return s.hashCode.toLong
     val B = 1000003L

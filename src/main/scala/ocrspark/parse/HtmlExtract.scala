@@ -207,6 +207,43 @@ object HtmlExtract {
   // ------------------------------------------------------------------
   private case class Stats(textLen: Int, tagCount: Int, linkLen: Int)
 
+  // hot path: called once per DOM text node — String.replaceAll would
+  // recompile its pattern on every call, which dominates the profile
+  // and destroys multi-core scaling (allocation churn).
+  @inline private def isWsOrNbsp(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00A0'
+
+  /** Manual single-pass whitespace collapse (no regex, minimal alloc). */
+  private def collapseWs(s: String): String = {
+    // fast path: most DOM text nodes are already collapsed — detect in
+    // one scan and return the original instance (zero alloc)
+    var clean = true
+    var j = 0
+    while (clean && j < s.length) {
+      val c = s.charAt(j)
+      if (c == ' ') { if (j + 1 < s.length && isWsOrNbsp(s.charAt(j + 1))) clean = false }
+      else if (isWsOrNbsp(c)) clean = false
+      j += 1
+    }
+    if (clean) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWsOrNbsp(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    if (pendingSpace && sb.length > 0) sb.append(' ') // keep trailing marker
+    sb.toString
+  }
+
   private def stats(node: Node, inLink: Boolean): Stats = node match {
     case TextNode(s) =>
       val len = normalizeWs(s).length
@@ -221,8 +258,11 @@ object HtmlExtract {
       Stats(t, tags + children.count(_.isInstanceOf[Elem]), l)
   }
 
-  private def normalizeWs(s: String): String =
-    s.replaceAll("[\\s\\u00A0]+", " ").trim
+  private def normalizeWs(s: String): String = {
+    val t = collapseWs(s)
+    if (t.nonEmpty && t.charAt(t.length - 1) == ' ') t.substring(0, t.length - 1)
+    else t
+  }
 
   /** Render a subtree to text: block boundaries become newlines, inline
     * text flows with single spaces; blank lines collapse. */
@@ -230,7 +270,7 @@ object HtmlExtract {
     val sb = new StringBuilder
     def walk(nd: Node): Unit = nd match {
       case TextNode(s) =>
-        val t = s.replaceAll("[\\s\\u00A0]+", " ")
+        val t = collapseWs(s)
         if (t.nonEmpty && t != " ") sb.append(t)
         else if (t == " " && sb.nonEmpty && sb.last != '\n' && sb.last != ' ')
           sb.append(' ')

@@ -83,6 +83,40 @@ object Fields {
       f -> ps.map(Pattern.compile(_, Normalize.UniFlags)).toArray
     }.toArray
 
+  /** Cheap skip-guards per field (perf only): a field whose patterns all
+    * hinge on a distinctive case-folded literal (or any digit) is
+    * skipped when none occurs — one lowercase copy feeds every check.
+    * Same exotic-case-fold caveat as Normalize.patternGuards; the golden
+    * corpus arbitrates. Needle lists include the OCR l-variants. */
+  private val fieldGuards: Map[String, (Array[String], Boolean)] = Map(
+    "carpeta_fiscal" -> (Array("carpeta"), true),
+    "expediente" -> (Array("exp"), true),
+    "fiscalia" -> (Array("fiscal", "flscal"), false),
+    "distrito_fiscal" -> (Array("distrito", "dlstrlto"), false),
+    "delito" -> (Array("delito", "dellto", "contra", "usurpaci", "apropiaci"), false),
+    "imputado" -> (Array("imputado", "lmputado", "investigado"), false),
+    "agraviado" -> (Array("agraviado", "agravlado"), false),
+    "fecha" -> (Array.empty[String], true),
+    "resolucion" -> (Array("resoluci"), true),
+    "juzgado" -> (Array("juzgado"), false),
+    "juez" -> (Array("jue", "magistrado"), false),
+    "fiscal" -> (Array("fiscal", "flscal"), false),
+  )
+  private val compiledWithGuards: Array[(String, Array[Pattern], Array[String], Boolean)] =
+    compiled.map { case (f, ps) =>
+      val (needles, digit) = fieldGuards(f)
+      (f, ps, needles, digit)
+    }
+
+  @inline private def hasDigit(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isDigit(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
   private val reWs = Pattern.compile("""\s+""", Pattern.UNICODE_CHARACTER_CLASS)
   private val reTrailJunk = Pattern.compile("""[|#]+$""")
   // fecha post-processing (app.py:528)
@@ -106,12 +140,17 @@ object Fields {
     * with `fecha_normalizada` appended last (app.py:524-531). */
   def extract(text: String): Map[String, String] = {
     if (text == null) return Map.empty
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val digits = hasDigit(text)
     var fields = ListMap.empty[String, String]
     var fi = 0
-    while (fi < compiled.length) {
-      val (name, pats) = compiled(fi)
+    while (fi < compiledWithGuards.length) {
+      val (name, pats, needles, needsDigit) = compiledWithGuards(fi)
+      val applicable =
+        (!needsDigit || digits) &&
+          (needles.isEmpty || needles.exists(lowered.contains(_)))
       var pi = 0
-      var done = false
+      var done = !applicable
       while (pi < pats.length && !done) {
         val m = pats(pi).matcher(text)
         if (m.find()) {

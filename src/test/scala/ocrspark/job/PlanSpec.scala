@@ -1,0 +1,100 @@
+package ocrspark.job
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB design intent, pinned
+  * (SURVEY.md §4): predicate pushdown + column pruning reach the parquet
+  * scan, the extraction job adds exactly one exchange over a lake scan
+  * (the bucket+salt repartition, AFTER map-side extraction), dimension
+  * joins broadcast, and aggregations run partial (map-side) before
+  * final. AQE is disabled in this suite only, so the static plan shape
+  * is inspectable; production sessions keep it on. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Pages as a parquet scan (the production shape: the lake table on
+    * disk, not the in-session generator with its own exchange). */
+  lazy val pagesParquet: org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("planspec_pages").toString
+    Synth.pagesDF(spark, sfDir).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+project pushes predicates and prunes columns at the scan") {
+    // another suite may have .cache()d documents in the shared session —
+    // pushdown is only visible on the real parquet scan
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("p1_filter_project")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(n_chars"), plan)
+    // ReadSchema must NOT include the heavy text column
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("extraction over a lake scan: exactly one exchange, AFTER the extract UDF") {
+    val df = ExtractJob.run(pagesParquet)
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$plan")
+    // map-side extraction: the UDF projection sits BELOW the exchange
+    // (plan text is parent-first, so Exchange appears before UDF)
+    assert(plan.indexOf("Exchange") < plan.indexOf("UDF(html"), plan)
+    // and the exchange payload is pruned: no html binary crosses the wire
+    val exchangeChild = plan.substring(plan.indexOf("Exchange"))
+    val projLine = exchangeChild.linesIterator.drop(1).next()
+    assert(!projLine.contains("html"), projLine)
+  }
+
+  test("analyze-only query over a lake scan runs with no shuffle at all") {
+    val plan = planOf(ExtractJob.analyzeOnly(pagesParquet))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("dimension join broadcasts the small side") {
+    val df = graft.SparkEntry.queries("j1_join_agg")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("gated average aggregates partially before the shuffle") {
+    val df = graft.SparkEntry.queries("a1_gated_avg")(spark, sfDir)
+    val plan = planOf(df)
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate\n$plan")
+  }
+
+  test("whole-stage codegen covers the lake scan stage") {
+    // simpleString marks whole-stage-codegen stages as "*(n)"
+    val plan = planOf(ExtractJob.run(pagesParquet))
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+
+  test("resume anti-join broadcasts the committed-lineage side") {
+    import spark.implicits._
+    val committed = Seq(1, 2, 3).toDF("bucket")
+    val pages = pagesParquet.withColumn("bucket", ExtractJob.bucketCol(64))
+    val todo = pages.join(
+      org.apache.spark.sql.functions.broadcast(committed), Seq("bucket"), "left_anti")
+    val plan = planOf(todo)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
