@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import ocrspark.text.{Fields, Normalize}
-
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
   * `queries` holds one entry per implemented operator from SURVEY.md §2;
@@ -13,10 +11,6 @@ import ocrspark.text.{Fields, Normalize}
   * suite instead and get the driver's rows-only check).
   */
 object SparkEntry {
-
-  // --- shared UDFs (registered lazily per call; Spark caches) ----------
-  private val normalizeUdf = udf((text: String, lang: String) => Normalize.normalize(text, lang))
-  private val extractFieldsUdf = udf((text: String) => Fields.extract(text))
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -37,11 +31,37 @@ object SparkEntry {
     // suite is the oracle; driver records rows-only.
     "f1_normalize_extract" -> ((s, dir) => {
       docs(s, dir)
-        .select(
-          col("doc_id"),
-          normalizeUdf(col("text"), col("lang")).as("text_norm"),
-          extractFieldsUdf(normalizeUdf(col("text"), col("lang"))).as("fields"))
+        .select(col("doc_id"),
+          ocrspark.functions.GraftFunctions
+            .normalize_text(col("text"), col("lang")).as("text_norm"))
+        .withColumn("fields",
+          ocrspark.functions.GraftFunctions.extract_fields(col("text_norm")))
         .orderBy(col("doc_id"))
+    }),
+
+    // F8: markdown report assembly (reference app.py:1014-1054 shape).
+    "f8_markdown_report" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          ocrspark.functions.GraftFunctions
+            .normalize_text(col("text"), col("lang")).as("text_norm"))
+        .withColumn("fields",
+          ocrspark.functions.GraftFunctions.extract_fields(col("text_norm")))
+        .select(col("doc_id"), concat(
+          lit("# Documento "), col("doc_id"),
+          lit("\n\n## Texto Extraído\n\n"), col("text_norm"),
+          lit("\n\n## Campos\n\n"), to_json(col("fields"))).as("report"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F9/S6: JSON metadata sink shape — to_json(struct(...)) per doc.
+    "f9_json_metadata" -> ((s, dir) => {
+      ocrspark.job.ExtractJob.run(ocrspark.job.Synth.pagesDF(s, dir))
+        .select(col("url"), to_json(struct(
+          col("method"), col("pages"), col("confidence"),
+          col("processed_pages"), col("low_confidence_pages"),
+          col("fields"))).as("metadata_json"))
+        .orderBy(col("url"))
     }),
 
     // P1-P4-shaped filter/projection with pushdown: long Spanish/English

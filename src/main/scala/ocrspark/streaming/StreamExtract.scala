@@ -1,0 +1,130 @@
+package ocrspark.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.8).
+  *
+  * The production resume story is batch-incremental (manifest snapshots
+  * + anti-join, `IncrementalExtract`) because the north rule wants
+  * partition-level lineage; this module provides the streaming
+  * ALTERNATIVE for continuously arriving pages plus the standard
+  * streaming analytics the engine exposes:
+  *
+  *  - [[extractStream]]: file-source stream over a pages directory →
+  *    the same map-side extraction projection → any sink, with
+  *    checkpointed exactly-once progress; `Trigger.AvailableNow` turns
+  *    it into a catch-up batch that dies when caught up.
+  *  - [[eventCountsStream]]: watermarked sliding-window aggregation
+  *    (late data dropped after the watermark), the A1-shaped gated
+  *    average per window.
+  *  - [[hostSessions]]: `flatMapGroupsWithState` custom state — crawl
+  *    "sessions" per host with an inactivity gap, the canonical
+  *    KeyValueGroupedDataset stateful pattern.
+  */
+object StreamExtract {
+
+  /** Streaming extraction over a pages parquet directory. The transform
+    * is IDENTICAL to the batch projection (same UDF, same map-side
+    * placement) — one definition, two execution modes. */
+  def extractStream(spark: SparkSession, pagesDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(pagesDir)
+    stream
+      .withColumn("r", ocrspark.job.ExtractJob.extractUdf(
+        col("html"), col("text"), col("lang")))
+      .withColumn("bucket", ocrspark.job.ExtractJob.bucketCol(
+        ocrspark.job.ExtractJob.DefaultBuckets))
+      .select(col("url"), col("warc_ts"), col("lang"), col("bucket"),
+        col("r.text").as("text"), col("r.fields").as("fields"),
+        col("r.method").as("method"), col("r.confidence").as("confidence"),
+        col("r.error").as("error"))
+  }
+
+  /** Run the extraction stream into an in-memory table (tests/demo) or
+    * parquet sink; AvailableNow processes the backlog then stops. */
+  def startExtract(spark: SparkSession, pagesDir: String,
+                   checkpoint: String, queryName: String): StreamingQuery =
+    extractStream(spark, pagesDir).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked sliding-window event aggregation with the reference's
+    * gated-average shape (A1) per window. */
+  def eventCounts(events: DataFrame, watermark: String = "10 minutes",
+                  window_ : String = "5 minutes",
+                  slide: String = "5 minutes"): DataFrame =
+    events
+      // parquet writes TIMESTAMP_NTZ; event-time watermarks need
+      // TIMESTAMP (session TZ is pinned UTC so the cast is lossless)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("value") > 60.0, col("value")).otherwise(lit(0.0))) /
+          greatest(lit(1L), count(when(col("value") > 60.0, lit(1)))), 4)
+          .as("gated_avg"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("gated_avg"))
+
+  // ---- stateful sessionization -------------------------------------
+
+  case class PageEvent(host: String, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, count: Long)
+  case class HostSession(host: String, start_ts: java.sql.Timestamp,
+                         end_ts: java.sql.Timestamp, n_pages: Long)
+
+  /** Close a host's crawl session after `gapMs` of inactivity —
+    * `flatMapGroupsWithState` with processing-time timeout. Emits a
+    * session row when the gap elapses (or the state times out). */
+  def sessionize(gapMs: Long)(
+      host: String, rows: Iterator[PageEvent],
+      state: GroupState[SessionState]): Iterator[HostSession] = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var out = Vector.empty[HostSession]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = t, count = s.count + 1))
+        case Some(s) =>
+          out :+= HostSession(host, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.count)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    if (state.hasTimedOut) {
+      cur.foreach { s =>
+        out :+= HostSession(host, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.count)
+      }
+      state.remove()
+    } else {
+      cur.foreach(state.update)
+      state.setTimeoutDuration(gapMs)
+    }
+    out.iterator
+  }
+
+  /** Wire sessionization over a stream of (host, ts). */
+  def hostSessions(pages: Dataset[PageEvent], gapMs: Long): Dataset[HostSession] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout())(sessionize(gapMs))
+  }
+}

@@ -1,0 +1,120 @@
+package ocrspark.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming extraction processes a pages backlog exactly once and resumes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_pages").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val pages = ocrspark.job.Synth.pagesDF(spark, sfDir).cache()
+    // first micro-deposit: 60% of pages
+    pages.filter(xxhash64($"url") % 10 < 6).write.mode("append").parquet(dir)
+
+    // file sink (memory sink cannot recover from a checkpoint)
+    val sink = Files.createTempDirectory("stream_sink").toString
+    def runAvailable(): Unit = {
+      val q = StreamExtract.extractStream(spark, dir).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runAvailable()
+    val n1 = spark.read.parquet(sink).count()
+    assert(n1 > 0 && n1 < 500)
+
+    // second deposit: the remaining pages arrive; SAME checkpoint →
+    // only the new files are processed (no reprocessing)
+    pages.filter(xxhash64($"url") % 10 >= 6).write.mode("append").parquet(dir)
+    runAvailable()
+    val n2 = spark.read.parquet(sink).count()
+    assert(n2 == 500L, s"expected 500 total, got $n2 (first batch $n1)")
+
+    // streamed output matches the batch extraction byte-for-byte
+    val streamed = spark.read.parquet(sink).select($"url", $"text")
+    val batch = ocrspark.job.ExtractJob.run(pages).select($"url", $"text".as("t2"))
+    val mismatches = streamed.join(batch, Seq("url"), "full_outer")
+      .filter(!($"text" <=> $"t2")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("watermarked windowed aggregation over the events stream") {
+    // batch DataFrame through the same aggregation definition first
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchAgg = StreamExtract.eventCounts(events)
+    assert(batchAgg.count() > 0)
+
+    // then as a genuine stream from a file source
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_events").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = StreamExtract.eventCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("evagg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode only emits windows sealed by the watermark; totals per
+    // emitted (window, type) must match the batch result
+    val streamed = spark.table("evagg")
+    val joined = streamed.join(batchAgg
+        .withColumnRenamed("n", "n_b").withColumnRenamed("gated_avg", "g_b"),
+      Seq("win_start", "event_type"))
+    assert(joined.filter($"n" =!= $"n_b" || !($"gated_avg" <=> $"g_b")).count() == 0L)
+  }
+
+  test("stateful host sessionization with inactivity gap (batch harness)") {
+    import spark.implicits._
+    // deterministic page events: two hosts, gap-separated bursts
+    val base = 1700000000000L
+    val events = Seq(
+      StreamExtract.PageEvent("a.com", new java.sql.Timestamp(base)),
+      StreamExtract.PageEvent("a.com", new java.sql.Timestamp(base + 1000)),
+      StreamExtract.PageEvent("a.com", new java.sql.Timestamp(base + 100000)), // new session
+      StreamExtract.PageEvent("b.org", new java.sql.Timestamp(base + 500)))
+    // state function exercised directly (deterministic, no clock):
+    val out = StreamExtract.sessionize(60000L)(
+      "a.com", events.filter(_.host == "a.com").iterator,
+      new TestGroupState[StreamExtract.SessionState])
+      .toVector
+    assert(out.size == 1) // first burst closed by the 100s gap
+    assert(out.head.n_pages == 2)
+    assert(out.head.start_ts.getTime == base)
+    assert(out.head.end_ts.getTime == base + 1000)
+  }
+
+  /** Minimal GroupState stub for direct unit-testing of the state fn. */
+  class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+    private var v: Option[S] = None
+    override def exists: Boolean = v.isDefined
+    override def get: S = v.get
+    override def getOption: Option[S] = v
+    override def update(s: S): Unit = v = Some(s)
+    override def remove(): Unit = v = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(d: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}
