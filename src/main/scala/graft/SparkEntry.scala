@@ -277,6 +277,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // W2: global sort + limit (top-N revenue orders) — DuckDB-verified.
+    "w2_topn" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // SET2: union + distinct across two filtered slices — DuckDB-verified.
+    "set2_union_distinct" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .union(e.filter(col("value") > 90.0).select(col("user_id")))
+        .distinct()
+        .orderBy(col("user_id"))
+    }),
+
     // SET1: anti-join (customers with no orders) — the resume anti-join
     // shape on driver tables, DuckDB-verified.
     "set1_anti_join" -> ((s, dir) => {
@@ -340,20 +357,20 @@ object SparkEntry {
         |FROM t),
         |c AS (SELECT doc_id, n_chars, n_tokens AS ws_tokens, bpe_tokens,
         |  n_tokens,
-        |  ROUND(punct * 1.0 / GREATEST(1, n_chars), 6) AS punct_ratio,
-        |  ROUND(upper_c * 1.0 / GREATEST(1, n_chars), 6) AS upper_ratio,
-        |  ROUND(stops * 1.0 / GREATEST(1, n_tokens), 6) AS stopword_ratio,
-        |  ROUND(n_chars * 1.0 / GREATEST(1, n_tokens), 6) AS mean_token_len
+        |  FLOOR(punct * 1.0 / GREATEST(1, n_chars) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
+        |  FLOOR(upper_c * 1.0 / GREATEST(1, n_chars) * 1000000 + 0.5) / 1000000.0 AS upper_ratio,
+        |  FLOOR(stops * 1.0 / GREATEST(1, n_tokens) * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
+        |  FLOOR(n_chars * 1.0 / GREATEST(1, n_tokens) * 1000000 + 0.5) / 1000000.0 AS mean_token_len
         |FROM b)
         |SELECT doc_id, ws_tokens, bpe_tokens, n_chars, n_tokens,
         |  punct_ratio, upper_ratio, stopword_ratio, mean_token_len,
-        |  ROUND(
+        |  FLOOR((
         |    LEAST(n_chars / 400.0, 1.0) * 0.3 +
         |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0
         |          ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END) * 0.2 +
         |    LEAST(stopword_ratio * 5.0, 1.0) * 0.3 +
         |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0
-        |          THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+        |          THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000 + 0.5) / 1000000.0 AS quality
         |FROM c ORDER BY doc_id""").stripMargin,
     "s2_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -375,6 +392,15 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w2_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "set2_union_distinct" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE value > 90.0)
+        |ORDER BY user_id""".stripMargin,
     "set1_anti_join" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

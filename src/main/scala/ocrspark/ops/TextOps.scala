@@ -47,6 +47,13 @@ object TextOps {
     "el", "la", "los", "las", "de", "del", "y", "o", "en", "que", "un",
     "una", "es", "por", "con", "para", "su", "al", "se", "no")
 
+  /** Oracle-proof 6-decimal rounding: `floor(x*1e6 + 0.5)/1e6` is the
+    * same double-arithmetic formula in Spark and DuckDB, so both engines
+    * produce the IDENTICAL double even at half-ulp boundaries (Spark's
+    * `round` is BigDecimal HALF_UP, DuckDB's is C rounding — they
+    * disagree one ulp from a .5 boundary; non-negative inputs only). */
+  def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   /** Word-quality ratios as a struct column; every field is a plain
     * column expression so the whole thing is one codegen'd projection
     * and is mirrorable in ANSI SQL for the oracle. */
@@ -61,10 +68,10 @@ object TextOps {
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
-      "punct_ratio" -> round(punct.cast("double") / greatest(lit(1), nChars), 6),
-      "upper_ratio" -> round(upper.cast("double") / greatest(lit(1), nChars), 6),
-      "stopword_ratio" -> round(stops.cast("double") / greatest(lit(1), nTokens), 6),
-      "mean_token_len" -> round(nChars.cast("double") / greatest(lit(1), nTokens), 6))
+      "punct_ratio" -> r6(punct.cast("double") / greatest(lit(1), nChars)),
+      "upper_ratio" -> r6(upper.cast("double") / greatest(lit(1), nChars)),
+      "stopword_ratio" -> r6(stops.cast("double") / greatest(lit(1), nTokens)),
+      "mean_token_len" -> r6(nChars.cast("double") / greatest(lit(1), nTokens)))
   }
 
   /** Composite quality score in [0,1]: long-enough, not punct-heavy,
@@ -78,7 +85,7 @@ object TextOps {
     val stopOk = least(cols("stopword_ratio") * lit(5.0), lit(1.0))
     val tokLen = cols("mean_token_len")
     val tokOk = when(tokLen >= 3.0 && tokLen <= 12.0, lit(1.0)).otherwise(lit(0.3))
-    round(lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + tokOk * 0.2, 6)
+    r6(lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + tokOk * 0.2)
   }
 
   // ------------------------------------------------------------------
