@@ -37,7 +37,7 @@ object Bench {
 
     // materialize the pages table once (read-side benches then measure
     // columnar-scan + compute, not generator cost)
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "4").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "16").toInt
     val (synthSec, _) = timed {
       ocrspark.job.Synth.ensurePages(spark, sfDir, replicate = replicate); 0L
     }
@@ -45,13 +45,15 @@ object Bench {
     val pagesPath = ocrspark.job.Synth.ensurePages(spark, sfDir, replicate = replicate)
     val pages = spark.read.parquet(pagesPath)
 
-    // warm-up (JIT + codegen caches) on a slice, untimed.
     // forceAll: hash result columns so Catalyst cannot prune the
-    // extraction UDF under count().
+    // extraction UDF under count(). Warm-up is a FULL pass (C2 JIT of
+    // the regex/parse kernels takes seconds and would pollute a single
+    // timed rep), then GC debt is paid outside the timing.
     def forceAll(df: DataFrame): Long =
       df.agg(sum(pmod(xxhash64(col("text"), col("method"), col("confidence")), lit(1000000007L))).as("h"),
         count(lit(1)).as("n")).collect()(0).getAs[Long]("n")
-    forceAll(ocrspark.job.ExtractJob.run(pages.limit(200)))
+    forceAll(ocrspark.job.ExtractJob.run(pages))
+    System.gc()
 
     val (extractSec, nDocs) = timed {
       forceAll(ocrspark.job.ExtractJob.run(pages))

@@ -118,30 +118,49 @@ object Dedup {
   }
   val estJaccard = udf(estJaccardImpl _)
 
-  val MaxBucketSize = 64 // degenerate-bucket cap (silent-cap is logged by caller)
+  /** Degenerate-bucket cap: a (band, signature) bucket larger than this
+    * is excluded from pair generation — an oversized bucket means the
+    * signature carries no discriminating information (near-empty docs,
+    * boilerplate collisions) and its self-join is quadratic. Capped
+    * buckets are observable via [[bucketSizes]] rather than silently
+    * truncating pair QUALITY: every surviving pair is still exact. */
+  val MaxBucketSize = 64
 
   /** MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold),
     * id_a < id_b, distinct. Shuffles only (band_sig, id, minhash). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7): DataFrame = {
+    // the band self-join scans its input twice: persist the sketches so
+    // text is shingled/minhashed ONCE. (At lake scale the same thing is
+    // done by materializing the sketch table to storage first.)
     val withMh = df.select(col(idCol).as("id"),
       minhash(col(textCol)).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band signature = hash of the band's 4 minhashes
     val bands = withMh.select(col("id"), col("mh"),
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
         s"b -> hash(b, slice(mh, b * $BandSize + 1, $BandSize)))"))
         .as(Seq("band", "sig")))
-    val a = bands.select(col("band"), col("sig"), col("id").as("id_a"),
-      col("mh").as("mh_a"))
-    val b = bands.select(col("band"), col("sig"), col("id").as("id_b"),
-      col("mh").as("mh_b"))
-    a.join(b, Seq("band", "sig"))
+    // enforce the degenerate-bucket cap (see MaxBucketSize)
+    val okBuckets = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucketSize)
+      .select(col("band"), col("sig"))
+    val capped = bands.join(okBuckets, Seq("band", "sig"))
+    val a = capped.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("sig"), col("id").as("id_b"))
+    // distinct FIRST: a pair can collide in up to NumBands buckets; score
+    // each unique candidate once, not once per matching band
+    val candidates = a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(withMh.select(col("id").as("id_a"), col("mh").as("mh_a")), Seq("id_a"))
+      .join(withMh.select(col("id").as("id_b"), col("mh").as("mh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("mh_a"), col("mh_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   // ------------------------------------------------------------------
@@ -177,6 +196,17 @@ object Dedup {
 
   val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
+  /** Bucket-size distribution for a corpus — the observability hook for
+    * the MaxBucketSize cap (how many buckets / docs are over-cap). */
+  def bucketSizes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withMh = df.select(col(idCol).as("id"), minhash(col(textCol)).as("mh"))
+    withMh.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
+        s"b -> hash(b, slice(mh, b * $BandSize + 1, $BandSize)))"))
+        .as(Seq("band", "sig")))
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bn"))
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxDist, candidates via the
     * pigeonhole principle: split 64 bits in 4 blocks of 16; any pair at
     * distance ≤3 shares at least one intact block. */
@@ -184,13 +214,19 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "pigeonhole blocks sized for maxDist ≤ 3")
     val withSh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = withSh.select(col("id"), col("sh"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (shiftright(sh, b * 16) & 65535))"))
         .as(Seq("block", "sig")))
-    val a = blocks.select(col("block"), col("sig"), col("id").as("id_a"),
+    val okBlocks = blocks.groupBy(col("block"), col("sig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucketSize)
+      .select(col("block"), col("sig"))
+    val capped = blocks.join(okBlocks, Seq("block", "sig"))
+    val a = capped.select(col("block"), col("sig"), col("id").as("id_a"),
       col("sh").as("sh_a"))
-    val b = blocks.select(col("block"), col("sig"), col("id").as("id_b"),
+    val b = capped.select(col("block"), col("sig"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("block", "sig"))
       .filter(col("id_a") < col("id_b"))
@@ -233,6 +269,7 @@ object Dedup {
                         threshold: Double = 0.6): DataFrame = {
     val cands = minhashPairs(df, idCol, textCol, candidateThreshold)
     val sets = df.select(col(idCol).as("id"), ngramSet(col(textCol)).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sets.withColumnRenamed("id", "id_a")
         .withColumnRenamed("ng", "ng_a"), Seq("id_a"))
