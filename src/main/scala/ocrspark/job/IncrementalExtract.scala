@@ -62,6 +62,23 @@ object IncrementalExtract {
         files.map(_.length()).sum)
     }
     val snap = table.commit(entries)
+
+    // per-stage counters into the metrics table (north rule: every
+    // stage emits lineage rows plus counters). Computed from the staged
+    // parquet with column pruning — text is never rescanned.
+    val m = ExtractJob.metrics(spark.read.parquet(staging)).collect()(0)
+    table.writeMetrics(spark, snap, "extract", Seq(
+      "docs_in" -> m.getAs[Long]("docs_in"),
+      "successful" -> m.getAs[Long]("successful"),
+      "failed" -> m.getAs[Long]("failed"),
+      "route_text" -> m.getAs[Long]("route_text"),
+      "route_hybrid" -> m.getAs[Long]("route_hybrid"),
+      "route_ocr" -> m.getAs[Long]("route_ocr"),
+      "route_html" -> m.getAs[Long]("route_html"),
+      "total_pages" -> m.getAs[Long]("total_pages"),
+      "buckets_written" -> entries.size.toLong,
+      "buckets_skipped" -> committed.size.toLong))
+
     Summary(snap, entries.size, entries.map(_.nDocs).sum, committed.size,
       noop = false)
   }

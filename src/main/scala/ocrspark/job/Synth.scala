@@ -186,11 +186,24 @@ object Synth {
   case class SynthPage(url: String, warc_ts: Timestamp, html: Array[Byte],
                        text: String, lang: String)
 
+  /** Repeat a body until ≥ n chars (deterministic) — gives the corpus a
+    * cohort of long text-PDFs that clear the 800-char text_extraction
+    * threshold (driver doc texts are ~300-500 chars, which routes
+    * everything to hybrid/ocr otherwise). */
+  private def expandTo(body: String, n: Int): String = {
+    if (body.isEmpty) return body
+    val sb = new StringBuilder(body)
+    while (sb.length < n) { sb.append('\n').append(body) }
+    sb.toString
+  }
+
   def pageFor(docId: Long, docText: String, lang: String): SynthPage = {
     val body = bodyFor(docId, docText)
     val (html, upstream) = kindFor(docId) match {
       case "html" => (htmlFor(docId, body), null)
-      case "pdf" => (textPdfFor(docId, body), null)
+      case "pdf" =>
+        val b = if (docId % 3 == 0) expandTo(body, 1000) else body
+        (textPdfFor(docId, b), null)
       case "scanned" => (scannedPdfFor(docId, body), null)
       case "corrupt" => (corruptPdfFor(docId, body), null)
       case _ => (htmlFor(docId, body), body)

@@ -134,6 +134,26 @@ class LakeTable(val root: String) {
     }
   }
 
+  /** Metrics table dir (counter rows per stage per snapshot,
+    * FIXTURES.md §1.3 — the Spark analog of the reference batch summary
+    * app.py:1149-1163). Plain append parquet: audit-only, tiny. */
+  def metricsDir: String = new File(root, "metrics").getPath
+
+  def writeMetrics(spark: SparkSession, snapshotId: Long, stage: String,
+                   counters: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    counters.map { case (k, v) =>
+      ocrspark.model.MetricRow(snapshotId, stage, k, v)
+    }.toDF().coalesce(1).write.mode("append").parquet(metricsDir)
+  }
+
+  def metrics(spark: SparkSession): DataFrame =
+    if (new File(metricsDir).exists()) spark.read.parquet(metricsDir)
+    else {
+      import spark.implicits._
+      Seq.empty[ocrspark.model.MetricRow].toDF()
+    }
+
   /** All snapshots' lineage (audit view across commits). */
   def lineageHistory(spark: SparkSession): DataFrame = {
     import spark.implicits._

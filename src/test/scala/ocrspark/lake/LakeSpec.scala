@@ -39,6 +39,13 @@ class LakeSpec extends AnyFunSuite {
     assert(lineage.agg(org.apache.spark.sql.functions.sum($"n_docs"))
       .as[Long].collect()(0) == 500L)
     assert(lineage.count() == s.bucketsWritten.toLong)
+    // metrics counters written per stage per snapshot
+    val m = t.metrics(spark)
+    val counters = m.filter($"snapshot_id" === 1L && $"stage" === "extract")
+      .select($"counter", $"value").as[(String, Long)].collect().toMap
+    assert(counters("docs_in") == 500L)
+    assert(counters("successful") + counters("failed") == 500L)
+    assert(counters("buckets_written") == s.bucketsWritten.toLong)
   }
 
   test("re-run on a fully committed table is a no-op (idempotence)") {
