@@ -164,6 +164,38 @@ def build_inputs(env):
     }
     inputs.update(field_inputs)
 
+    # --- adversarial regex-semantics corners -------------------------
+    inputs.update({
+        "a_multiline_dollar": "DELITO: ROBO\nDELITO: HURTO\nfin",
+        "a_dollar_no_newline": "FISCAL: MARIA GOMEZ",
+        "a_dollar_trailing_nl": "FISCAL: MARIA GOMEZ\n",
+        "a_ordinal_mix": "Art. 1º Art 2° art.3 ART  4",
+        "a_res_trailing_space_digits": "RESOLUCION N° 12 567 mas",
+        "a_exp_gap": "EXP.  N°   01234-2024-0-0401-JR-PE",
+        "a_exp_colon": "EXPEDIENTE N°: 01234-2024-0-0401-JR-PE",
+        "a_fiscalia_distrito_inline": "FISCALÍA PROVINCIAL PENAL DE LIMA DISTRITO FISCAL DE LIMA",
+        "a_value_pipes_mid": "DELITO: ROBO|AGRAVADO\nfin",
+        "a_value_hash_only": "DELITO: ####\nDELITO: HURTO",
+        "a_imputado_comma": "IMPUTADO: PEREZ, JUAN CARLOS, AGRAVIADO: OTRO",
+        "a_overlapping_stops": "IMPUTADO: ANA DELITO AGRAVIADO: LUIS",
+        "a_date_adjacent": "12-12-201200 y 1-1-19999",
+        "a_plate_boundaries": "XABC 123 ABC 123X ABC  123",
+        "a_inc_inside_word": "zinc 5 e Inca 7 e Inc 9",
+        "a_case_folding_special": "pUbLiCo PÚblico PúBLICO",
+        "a_cyrillic_word": "PENAЛ PENAЛES ЛPENAЛ",
+        "a_empty_after_clean": " | # ",
+        "a_tabs_in_fields": "JUEZ:\tROSA\tDIAZ\tLUNA\nfin",
+        "a_nbsp_mid": "CARPETA FISCAL 1234567890-2024-1-1",
+        "a_juzgado_end": "JUZGADO MIXTO",
+        "a_juez_vs_jues": "JUES: A B\nJUEZ: C D",
+        "a_carpeta_short_id": "CARPETA FISCAL: 123456789-2024-1-1",
+        "a_exp_word_class": "EXP N° 0123-2024-99-ABCD-ZZ",
+        "a_double_match_first_wins": "FECHA: 01/01/2020 y 5 de Mayo del 2021",
+        "a_fecha_norm_long_first": "5 de Mayo del 2021 y FECHA: 01/01/2020",
+        "a_vertical_tab": "ab  c",
+        "a_formfeed": "ab\n\nc",
+    })
+
     # --- unicode / boundary torture ----------------------------------
     inputs.update({
         "t_nbsp": "PUBLICO PENAL",
