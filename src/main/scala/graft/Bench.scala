@@ -98,8 +98,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(
-      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}""")
+    val line =
+      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}"""
+    println(line)
+    // sbt's logger prefixes forked stdout with [info], which broke the
+    // driver's JSON parse in r1 — also land the line in a bare file.
+    try {
+      val benchDir = new java.io.File("BENCH")
+      benchDir.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(benchDir, "last_bench.json").toPath, line + "\n")
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -15,6 +15,13 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Driver-hashable serialization of a map column: sorted entries →
+    * deterministic JSON string. The driver's pandas comparator cannot
+    * sort/hash MapType columns, so no query may emit a top-level
+    * map/array/struct (reference field-map contract: app.py:505-533). */
+  private def fieldsJson(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(map_from_entries(array_sort(map_entries(c))))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * normalize + field-extract over the documents table (the minimum
     * end-to-end slice of SURVEY.md §7.3 step 1). */
@@ -34,8 +41,8 @@ object SparkEntry {
         .select(col("doc_id"),
           ocrspark.functions.GraftFunctions
             .normalize_text(col("text"), col("lang")).as("text_norm"))
-        .withColumn("fields",
-          ocrspark.functions.GraftFunctions.extract_fields(col("text_norm")))
+        .withColumn("fields", fieldsJson(
+          ocrspark.functions.GraftFunctions.extract_fields(col("text_norm"))))
         .orderBy(col("doc_id"))
     }),
 
@@ -81,6 +88,7 @@ object SparkEntry {
       ocrspark.job.ExtractJob
         .run(ocrspark.job.Synth.pagesDF(s, dir))
         .drop("warc_ts") // timestamp not comparable across writers
+        .withColumn("fields", fieldsJson(col("fields")))
         .orderBy(col("url"))
     }),
 
@@ -125,6 +133,37 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select(col("event_type"), col("event_id"), col("rn"))
         .orderBy(col("event_type"), col("rn"))
+    }),
+
+    // F7: timestamp formatting (lineage/report timestamps,
+    // LakeTable.writeMetrics shape) — DuckDB-verified.
+    "f7_ts_format" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_fmt"),
+          date_format(col("ts"), "dd/MM/yyyy").as("ts_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W3: sample truncation (the analyzer's `total_text[:500].strip()`
+    // shape, app.py:287) — slice then trim — DuckDB-verified.
+    "w3_truncate" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          trim(substring(col("text"), 1, 500)).as("sample"),
+          length(trim(substring(col("text"), 1, 500))).as("sample_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F10/F11: size-MB math with the cross-engine round-half-up trick
+    // (get_file_size_mb, app.py:207-210) — DuckDB-verified.
+    "f10_size_mb" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          octet_length(col("text")).as("bytes"),
+          (floor(octet_length(col("text")) / lit(1048576.0) * lit(1000000.0)
+            + lit(0.5)) / lit(1000000.0)).as("size_mb"))
+        .orderBy(col("doc_id"))
     }),
 
     // O12: snapshot-commit + resume — partial run (buckets <20), then a
@@ -197,18 +236,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // D5: embedding-cosine near-dup via sign-LSH buckets.
+    // D5: embedding-cosine near-dup via sign-LSH buckets. Near-dups are
+    // planted Spark-side (deterministic transform, no driver collect):
+    // vec_id < 50 each get a +0.001-perturbed copy at vec_id + 10000.
     "d5_embed_neardup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      import s.implicits._
-      val base = emb.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].limit(50).collect()
-      val planted = base.map { case (id, v) =>
-        (id + 10000L, v.map(x => x + 0.001f))
-      }
-      val all = emb.select(col("vec_id"), col("embedding"))
-        .unionAll(s.createDataset(planted.toSeq).toDF("vec_id", "embedding"))
-      ocrspark.ops.Dedup.embeddingNearDups(all, "vec_id", "embedding", 0.99)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => (x + lit(0.001f)).cast("float"))
+            .as("embedding"))
+      ocrspark.ops.Dedup.embeddingNearDups(
+          emb.unionAll(planted), "vec_id", "embedding", 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -252,7 +291,8 @@ object SparkEntry {
         .orderBy(col("lang"), col("predicted"))
     }),
 
-    // T3: winnowing fingerprints (rolling-hash document signatures).
+    // T3: winnowing fingerprints (rolling-hash document signatures) —
+    // scalar 64-bit fingerprint, driver-hashable as-is.
     "t3_fingerprint" -> ((s, dir) => {
       docs(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -320,6 +360,19 @@ object SparkEntry {
         |    AS gated_avg,
         |  COUNT(CASE WHEN value > 60.0 THEN 1 END) AS n_over
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f7_ts_format" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+        |  strftime(ts, '%d/%m/%Y') AS ts_date
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w3_truncate" ->
+      """SELECT doc_id, TRIM(substr(text, 1, 500)) AS sample,
+        |  LENGTH(TRIM(substr(text, 1, 500))) AS sample_len
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "f10_size_mb" ->
+      """SELECT doc_id, octet_length(encode(text)) AS bytes,
+        |  FLOOR(octet_length(encode(text)) / 1048576.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS size_mb
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "w1_first_k" ->
       """SELECT event_type, event_id, rn FROM (
         |  SELECT event_type, event_id,
