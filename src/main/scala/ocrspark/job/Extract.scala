@@ -45,24 +45,92 @@ object Extract {
     b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
       b(3) == 'F' && b(4) == '-'
 
+  /** Image magic-byte sniffing (PNG/JPEG/GIF/TIFF/BMP) — the formats in
+    * the reference's ALLOWED_EXTENSIONS besides pdf (app.py:60). */
+  private[job] def isImage(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4) return false
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+    (b(0) == 'I' && b(1) == 'I' && b(2) == '*' && b(3) == 0) ||
+    (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == '*') ||
+    (b(0) == 'B' && b(1) == 'M')
+  }
+
   /** The per-row pipeline. `upstreamText` is the lake table's `text`
     * column (pre-extracted by upstream when non-null/non-blank — takes
     * the trusted fast path, mirroring the reference's text-path
-    * confidence contract). */
+    * confidence contract). `forceOcr` mirrors the reference's
+    * `force_ocr` form parameter (app.py:906,935-939): skip content
+    * analysis and take the OCR-shaped path unconditionally. */
   def extractDocument(html: Array[Byte], upstreamText: String,
-                      lang: String): DocResult = {
+                      lang: String, forceOcr: Boolean = false): DocResult = {
     try {
       if (upstreamText != null && Normalize.pyStrip(upstreamText).nonEmpty)
         return upstreamPath(upstreamText, lang)
       if (html == null || html.length == 0)
         return errorResult("empty payload")
-      if (isPdf(html)) pdfPath(html, lang)
+      if (forceOcr) forcedOcrPath(html, lang)
+      else if (isPdf(html)) pdfPath(html, lang)
+      else if (isImage(html)) imagePath(html)
       else htmlPath(html, lang)
     } catch {
       case e: Exception =>
         errorResult(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
   }
+
+  /** force_ocr=1 contract (app.py:935-939): no analysis is run; the
+    * document goes straight to the OCR-shaped path. The reference's OCR
+    * path only reads PDFs (pdfinfo/PdfReader, app.py:665-671), so a
+    * non-PDF payload fails there with a document-level error. Analysis
+    * columns carry the forced route with confidence 1.0 (the reference
+    * response simply omits the analysis dict when forced). */
+  private def forcedOcrPath(html: Array[Byte], lang: String): DocResult = {
+    val sizeMb = html.length / (1024.0 * 1024.0)
+    if (!isPdf(html))
+      return DocResult("", Map.empty, MethodOcr, pages = 0, confidence = 0.0,
+        processed_pages = 0, low_confidence_pages = 0,
+        route = ocrspark.route.Analyze.RouteOcr, route_confidence = 1.0,
+        has_text = false, has_images = isImage(html), text_length = 0,
+        text_density = 0.0, sample_text = "",
+        error = "OCR forzado: el payload no es un PDF")
+    PdfExtract.parse(html) match {
+      case Left(err) =>
+        DocResult("", Map.empty, MethodOcr, pages = 0, confidence = 0.0,
+          processed_pages = 0, low_confidence_pages = 0,
+          route = ocrspark.route.Analyze.RouteOcr, route_confidence = 1.0,
+          has_text = false, has_images = false, text_length = 0,
+          text_density = 0.0, sample_text = "", error = err)
+      case Right(doc) if doc.pageCount == 0 =>
+        DocResult("", Map.empty, MethodOcr, pages = 0, confidence = 0.0,
+          processed_pages = 0, low_confidence_pages = 0,
+          route = ocrspark.route.Analyze.RouteOcr, route_confidence = 1.0,
+          has_text = false, has_images = false, text_length = 0,
+          text_density = 0.0, sample_text = "",
+          error = "PDF no contiene páginas") // app.py:674
+      case Right(doc) =>
+        val forced = ocrspark.model.Analysis(has_text = false,
+          has_images = false, text_length = 0, page_count = doc.pageCount,
+          text_density = 0.0,
+          processing_recommendation = ocrspark.route.Analyze.RouteOcr,
+          confidence = 1.0, sample_text = "", file_size_mb = sizeMb)
+        ocrShapedPdf(doc, forced, lang)
+    }
+  }
+
+  /** Image payloads: the reference analyzer gives them a constant
+    * analysis dict (has_images, route 'ocr', confidence 0.8 —
+    * app.py:864-871) and /process sends them down the OCR path, which
+    * only reads PDFs and fails (app.py:665-671,792-795). Mirrored here
+    * as a typed document-level error — never parsed as HTML. */
+  private def imagePath(html: Array[Byte]): DocResult =
+    DocResult("", Map.empty, MethodOcr, pages = 0, confidence = 0.0,
+      processed_pages = 0, low_confidence_pages = 0,
+      route = ocrspark.route.Analyze.RouteOcr, route_confidence = 0.8,
+      has_text = false, has_images = true, text_length = 0,
+      text_density = 0.0, sample_text = "",
+      error = "payload de imagen: la ruta OCR solo procesa PDF")
 
   private def upstreamPath(text: String, lang: String): DocResult = {
     val norm = Normalize.normalize(text, lang)

@@ -28,10 +28,19 @@ object ExtractJob {
   val DefaultBuckets = 64
   val DefaultSalts = 8
 
-  /** The extraction stage as a column over (html, text, lang). */
+  /** The extraction stage as a column over (html, text, lang,
+    * force_ocr). */
   val extractUdf =
-    udf((html: Array[Byte], text: String, lang: String) =>
-      Extract.extractDocument(html, text, lang))
+    udf((html: Array[Byte], text: String, lang: String, forceOcr: Boolean) =>
+      Extract.extractDocument(html, text, lang, forceOcr))
+
+  /** The `force_ocr` override column: present on the input table →
+    * honored per row; absent → false (reference form param default,
+    * app.py:906). */
+  private def forceOcrCol(pages: DataFrame): Column =
+    if (pages.columns.contains("force_ocr"))
+      coalesce(col("force_ocr"), lit(false))
+    else lit(false)
 
   def bucketCol(nBuckets: Int): Column =
     pmod(xxhash64(col("url")), lit(nBuckets)).cast("int")
@@ -56,7 +65,8 @@ object ExtractJob {
     val parts = repartitionTasks.getOrElse(
       pages.sparkSession.sessionState.conf.numShufflePartitions)
     pages
-      .withColumn("r", extractUdf(col("html"), col("text"), col("lang")))
+      .withColumn("r",
+        extractUdf(col("html"), col("text"), col("lang"), forceOcrCol(pages)))
       .withColumn("bucket", bucketCol(nBuckets))
       .withColumn("salt", saltCol(nSalts))
       .select(
@@ -78,7 +88,8 @@ object ExtractJob {
     * consumers downstream. */
   def analyzeOnly(pages: DataFrame): DataFrame = {
     pages
-      .withColumn("r", extractUdf(col("html"), col("text"), col("lang")))
+      .withColumn("r",
+        extractUdf(col("html"), col("text"), col("lang"), forceOcrCol(pages)))
       .select(
         col("url"),
         col("r.route").as("route"),

@@ -14,11 +14,12 @@ import ocrspark.parse.PdfWriter
   * no wall-clock and no unseeded randomness: every choice is a pure
   * function of `doc_id` (FIXTURES.md §1.1).
   *
-  * Mix (by doc_id mod 20): 40% HTML pages (body = doc text wrapped in
+  * Mix (by doc_id mod 20): 35% HTML pages (body = doc text wrapped in
   * boilerplate: nav/header/footer/link lists — what Arc90 must strip),
-  * 40% embedded-text PDFs (1–5 pages), 10% "scanned-shaped" PDFs (short
-  * text + image XObject → routes hybrid/ocr), 5% corrupt PDFs
-  * (truncated → error path), 5% upstream-text rows. Hosts are
+  * 5% image payloads (PNG/JPEG magic → OCR route), 40% embedded-text
+  * PDFs (1–5 pages), 10% "scanned-shaped" PDFs (short text + image
+  * XObject → routes hybrid/ocr), 5% corrupt PDFs (truncated → error
+  * path), 5% upstream-text rows. Hosts are
   * zipfian-skewed (FIXTURES.md: "host component zipfian-skewed") so
   * skew handling is observable. Every 5th doc gets a legal header so
   * the normalization vocabulary and all 12 fields fire at scale.
@@ -51,7 +52,10 @@ object Synth {
 
   def urlFor(docId: Long): String = {
     val kind = (docId % 20).toInt
-    val ext = if (kind >= 8 && kind <= 18) "pdf" else "html"
+    val ext =
+      if (kind >= 8 && kind <= 18) "pdf"
+      else if (kind == 7) { if ((docId / 20) % 2 == 0) "png" else "jpg" }
+      else "html"
     s"https://${hostFor(docId)}/doc/$docId.$ext"
   }
 
@@ -173,10 +177,33 @@ object Synth {
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Kind selector: 0-7 html, 8-15 text pdf, 16-17 scanned, 18 corrupt,
-    * 19 upstream-text. */
+  /** Image payload: deterministic fake PNG/JPEG — correct magic bytes
+    * (so the engine's sniffing routes it), SplitMix64 filler body. The
+    * reference accepts png/jpg uploads (ALLOWED_EXTENSIONS, app.py:60)
+    * and sends them down the OCR path. */
+  def imageFor(docId: Long): Array[Byte] = {
+    val png = (docId / 20) % 2 == 0
+    val header: Array[Byte] =
+      if (png) Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      else Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val n = 512 + (unit(docId, 7) * 4096).toInt
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var x = docId * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    var i = header.length
+    while (i < out.length) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      out(i) = x.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Kind selector: 0-6 html, 7 image, 8-15 text pdf, 16-17 scanned,
+    * 18 corrupt, 19 upstream-text. */
   def kindFor(docId: Long): String = (docId % 20) match {
-    case k if k <= 7 => "html"
+    case k if k <= 6 => "html"
+    case 7 => "image"
     case k if k <= 15 => "pdf"
     case 16 | 17 => "scanned"
     case 18 => "corrupt"
@@ -201,6 +228,7 @@ object Synth {
     val body = bodyFor(docId, docText)
     val (html, upstream) = kindFor(docId) match {
       case "html" => (htmlFor(docId, body), null)
+      case "image" => (imageFor(docId), null)
       case "pdf" =>
         val b = if (docId % 3 == 0) expandTo(body, 1000) else body
         (textPdfFor(docId, b), null)

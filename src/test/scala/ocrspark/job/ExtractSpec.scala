@@ -157,6 +157,44 @@ class ExtractSpec extends AnyFunSuite {
     assert(r.error == null)
   }
 
+  test("e2e: image payload routes ocr with has_images, typed error, no mojibake") {
+    Seq(Synth.imageFor(7L), Synth.imageFor(27L)).foreach { img =>
+      val r = Extract.extractDocument(img, null, "es")
+      assert(r.method == Extract.MethodOcr)
+      assert(r.route == "ocr")
+      assert(r.route_confidence == 0.8) // constant analysis, app.py:864-871
+      assert(r.has_images && !r.has_text)
+      assert(r.error != null)
+      assert(r.text.isEmpty) // never parsed as HTML
+    }
+  }
+
+  test("e2e: force_ocr sends a text-routed PDF down the OCR path") {
+    val body = Synth.bodyFor(0L, longBody)
+    val pdf = Synth.textPdfFor(0L, body)
+    val normal = Extract.extractDocument(pdf, null, "es")
+    assert(normal.method == Extract.MethodText) // would route text_extraction
+    val forced = Extract.extractDocument(pdf, null, "es", forceOcr = true)
+    assert(forced.method == Extract.MethodOcr)
+    assert(forced.route == "ocr" && forced.route_confidence == 1.0)
+    assert(forced.error == null)
+    // OCR-shaped output: per-page separators + per-page confidence model
+    assert(forced.text.contains("--- Página 1 de "))
+    assert(forced.confidence != Confidence.TextPathConfidence)
+    // same normalization corpus flows through: fields still extracted
+    assert(forced.fields.get("carpeta_fiscal").contains("5006014504-2024-215-0"))
+  }
+
+  test("e2e: force_ocr on a non-PDF payload fails like the reference OCR path") {
+    val r = Extract.extractDocument(Synth.htmlFor(1L, longBody), null, "es",
+      forceOcr = true)
+    assert(r.method == Extract.MethodOcr && r.route == "ocr")
+    assert(r.error != null)
+    val img = Extract.extractDocument(Synth.imageFor(7L), null, "es",
+      forceOcr = true)
+    assert(img.error != null && img.has_images)
+  }
+
   test("e2e: upstream text wins over html payload") {
     val r = Extract.extractDocument(Synth.htmlFor(19L, "ignored"),
       "texto  upstream\n\n\ncon espacios", "es")

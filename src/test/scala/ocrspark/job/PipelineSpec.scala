@@ -28,16 +28,30 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val methods = extracted.groupBy($"method").count().as[(String, Long)]
       .collect().toMap
-    // 500 docs: 40% html, 40% text-pdf, 10% scanned, 5% corrupt, 5% upstream
-    assert(methods.getOrElse(Extract.MethodHtml, 0L) == 200L)
+    // 500 docs: 35% html, 5% image, 40% text-pdf, 10% scanned,
+    // 5% corrupt, 5% upstream
+    assert(methods.getOrElse(Extract.MethodHtml, 0L) == 175L)
     assert(methods.getOrElse(Extract.MethodUpstream, 0L) == 25L)
-    // text pdfs route text_extraction unless short; scanned+corrupt → ocr
+    // text pdfs route text_extraction unless short; scanned+corrupt+image
+    // take the OCR-shaped method
     assert(methods.getOrElse(Extract.MethodText, 0L) +
-      methods.getOrElse(Extract.MethodOcr, 0L) == 275L)
+      methods.getOrElse(Extract.MethodOcr, 0L) == 300L)
     val routes = extracted.groupBy($"route").count().as[(String, Long)]
       .collect().toMap
     assert(routes.contains("text_extraction"))
     assert(routes.contains("ocr"))
+  }
+
+  test("image payloads route ocr and never leak through the html path") {
+    import spark.implicits._
+    val images = extracted.filter($"url".endsWith(".png") || $"url".endsWith(".jpg"))
+    assert(images.count() == 25L)
+    val bad = images.filter($"method" =!= Extract.MethodOcr ||
+      $"route" =!= "ocr" || $"error".isNull).count()
+    assert(bad == 0L)
+    // no mojibake: image rows must not carry extracted text
+    assert(images.filter(org.apache.spark.sql.functions.length($"text") > 0)
+      .count() == 0L)
   }
 
   test("errors are confined to the corrupt cohort and typed") {
@@ -46,12 +60,13 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"error".isNotNull || $"text".contains("[Error"))
       .select($"url", $"error".isNotNull.as("docLevel")).as[(String, Boolean)]
       .collect()
-    // corrupt docs are doc_id % 20 == 18; both failure layers must occur
+    // corrupt docs are doc_id % 20 == 18; images (doc_id % 20 == 7) fail
+    // the OCR route by contract; both failure layers must occur
     assert(errUrls.exists(_._2), "no document-level errors")
     assert(errUrls.exists(!_._2), "no page-level errors")
     errUrls.foreach { case (u, _) =>
-      val id = u.split("/doc/")(1).stripSuffix(".pdf").stripSuffix(".html").toLong
-      assert(id % 20 == 18, s"unexpected error for $u")
+      val id = u.split("/doc/")(1).replaceAll("\\.(pdf|html|png|jpg)$", "").toLong
+      assert(id % 20 == 18 || id % 20 == 7, s"unexpected error for $u")
     }
   }
 
