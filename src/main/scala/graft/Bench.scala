@@ -68,6 +68,16 @@ object Bench {
     }
     results += ("p5_routing" -> analyzeSec)
 
+    // pure columnar-scan floor for the same payload column: any query
+    // that must read `html` cannot beat this — contextualizes p5 (its
+    // compute is analyze-kernel + this scan).
+    val (scanSec, _) = timed {
+      pages.agg(sum(pmod(xxhash64(octet_length(col("html"))), lit(1000000007L))).as("h"),
+        count(lit(1)).as("n")).collect()
+      0L
+    }
+    results += ("scan_floor" -> scanSec)
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.cache().count()
 

@@ -222,6 +222,60 @@ object Extract {
       sample_text = sample(norm), error = null)
   }
 
+  /** Routing-analysis-only result (the /analyze endpoint shape). */
+  case class AnalyzeResult(
+      route: String,
+      route_confidence: Double,
+      has_text: Boolean,
+      has_images: Boolean,
+      text_length: Int,
+      pages: Int,
+      text_density: Double)
+
+  /** The cheap /analyze path (app.py:258-286): PDF analysis decodes only
+    * the first min(3, pages) pages and does NO normalization or field
+    * extraction — the reference analyzer samples raw page text. HTML
+    * gets the boilerplate-strip only (length of the raw Arc90 output);
+    * images get the constant analysis dict (app.py:864-871); upstream
+    * text is measured as-is. ~an order of magnitude cheaper than
+    * [[extractDocument]] for metadata queries. */
+  def analyzeDocument(html: Array[Byte], upstreamText: String,
+                      lang: String): AnalyzeResult = {
+    try {
+      if (upstreamText != null && Normalize.pyStrip(upstreamText).nonEmpty) {
+        val t = Normalize.pyStrip(upstreamText)
+        val len = t.codePointCount(0, t.length)
+        return AnalyzeResult("upstream", 1.0, has_text = true,
+          has_images = false, len, pages = 1, len.toDouble)
+      }
+      if (html == null || html.length == 0)
+        return AnalyzeResult("error", 0.0, has_text = false,
+          has_images = false, 0, 0, 0.0)
+      if (isPdf(html)) {
+        val a = Analyze.analyzePdf(PdfExtract.parse(html, maxTextPages = 3),
+          html.length / (1024.0 * 1024.0))
+        AnalyzeResult(a.processing_recommendation, a.confidence,
+          a.has_text, a.has_images, a.text_length, a.page_count,
+          a.text_density)
+      } else if (isImage(html)) {
+        // constant image analysis (app.py:864-871)
+        AnalyzeResult(Analyze.RouteOcr, 0.8, has_text = false,
+          has_images = true, 0, 0, 0.0)
+      } else {
+        // raw visible text, no main-content extraction — the analyzer
+        // measures the page as-is (like page.extract_text() for PDFs)
+        val len = HtmlExtract.visibleTextLength(
+          new String(html, StandardCharsets.UTF_8))
+        AnalyzeResult("html_extraction", 1.0, has_text = len > 50,
+          has_images = false, len, pages = 1, len.toDouble)
+      }
+    } catch {
+      case _: Exception =>
+        AnalyzeResult("error", 0.0, has_text = false, has_images = false,
+          0, 0, 0.0)
+    }
+  }
+
   private def errorResult(msg: String): DocResult =
     DocResult("", Map.empty, MethodError, pages = 0, confidence = 0.0,
       processed_pages = 0, low_confidence_pages = 0, route = "error",

@@ -82,14 +82,22 @@ object ExtractJob {
       .drop("salt")
   }
 
+  /** The routing-analysis-only stage as a column (cheap: 3-page PDF
+    * sample, no normalize/fields — Extract.analyzeDocument). */
+  val analyzeUdf =
+    udf((html: Array[Byte], text: String, lang: String) =>
+      Extract.analyzeDocument(html, text, lang))
+
   /** The /analyze-shaped metadata query (SURVEY.md §3.3): routing
     * analysis only, no extraction text in the output — demonstrates the
     * route being a composable column, and lets Parquet prune `html`
-    * consumers downstream. */
+    * consumers downstream. Runs the DEDICATED analyze kernel (first-3-
+    * pages sample, no normalization — app.py:258-286), not the full
+    * extraction; the reference /analyze endpoint likewise has no
+    * force_ocr parameter. */
   def analyzeOnly(pages: DataFrame): DataFrame = {
     pages
-      .withColumn("r",
-        extractUdf(col("html"), col("text"), col("lang"), forceOcrCol(pages)))
+      .withColumn("r", analyzeUdf(col("html"), col("text"), col("lang")))
       .select(
         col("url"),
         col("r.route").as("route"),

@@ -153,6 +153,89 @@ object HtmlExtract {
     root
   }
 
+  /** Single-pass visible-text length — the cheap analyzer metric
+    * (mirrors the reference analyzer's raw `page.extract_text()`
+    * measure, app.py:264-266: ALL page text ws-collapsed, no
+    * main-content extraction, no entity decoding). Counts characters
+    * outside tags with whitespace runs collapsed to one space;
+    * script/style/comment content excluded. ~10× cheaper than building
+    * the DOM, for metadata-only queries. */
+  // allocation-free raw-text-container check at position i+1 of a '<';
+  // the char after the name must end the tag name (not a letter/digit)
+  @inline private def rawTagAt(html: String, i: Int): String = {
+    @inline def ends(j: Int): Boolean =
+      j >= html.length || !Character.isLetterOrDigit(html.charAt(j))
+    if (html.regionMatches(true, i, "script", 0, 6) && ends(i + 6)) "script"
+    else if (html.regionMatches(true, i, "style", 0, 5) && ends(i + 5)) "style"
+    else if (html.regionMatches(true, i, "noscript", 0, 8) && ends(i + 8)) "noscript"
+    else if (html.regionMatches(true, i, "textarea", 0, 8) && ends(i + 8)) "textarea"
+    else null
+  }
+
+  def visibleTextLength(html: String): Int = {
+    val n = html.length
+    var i = 0
+    var count = 0
+    var pendingWs = false
+    var started = false
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      val end = if (lt < 0) n else lt
+      // count the ws-collapsed text run [i, end) in a tight loop
+      var k = i
+      while (k < end) {
+        val c = html.charAt(k)
+        if (c > ' ' && c != '\u00A0') {
+          if (pendingWs && started) count += 1
+          pendingWs = false; started = true
+          count += 1
+        } else if (isWsOrNbsp(c)) pendingWs = true
+        else { // rare control chars: visible
+          if (pendingWs && started) count += 1
+          pendingWs = false; started = true
+          count += 1
+        }
+        k += 1
+      }
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val e = html.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else if (lt + 1 < n && (html.charAt(lt + 1).isLetter ||
+          html.charAt(lt + 1) == '/' || html.charAt(lt + 1) == '!' ||
+          html.charAt(lt + 1) == '?')) {
+        val raw = rawTagAt(html, lt + 1)
+        val gt = html.indexOf('>', lt)
+        i = if (gt < 0) n else gt + 1
+        if (raw != null) {
+          // skip raw content up to the matching close tag
+          val close = "</" + raw
+          var k2 = i
+          var found = -1
+          while (found < 0 && k2 >= 0 && k2 < n) {
+            k2 = html.indexOf('<', k2)
+            if (k2 < 0) found = n
+            else if (html.regionMatches(true, k2, close, 0, close.length))
+              found = k2
+            else k2 += 1
+          }
+          if (found < 0 || found >= n) i = n
+          else {
+            val g2 = html.indexOf('>', found)
+            i = if (g2 < 0) n else g2 + 1
+          }
+        }
+      } else {
+        // bare '<' as text
+        if (pendingWs && started) count += 1
+        pendingWs = false; started = true
+        count += 1
+        i = lt + 1
+      }
+    }
+    count
+  }
+
   /** Parse `<tag attr=v ...>` starting at `lt`; returns (elem,
     * selfClosed, indexAfter). */
   private def parseTag(html: String, lt: Int): (Elem, Boolean, Int) = {

@@ -425,7 +425,12 @@ object PdfExtract {
 
   /** Parse a PDF. Left(reason) for document-level failure; per-page
     * failures surface as Page(error != null). */
-  def parse(bytes: Array[Byte]): Either[String, Doc] = {
+  /** Parse a PDF. `maxTextPages` bounds how many pages get their content
+    * streams decoded and text extracted (the page tree and page count
+    * always cover the whole document) — the analyzer samples only the
+    * first 3 pages (reference app.py:258-261), so the analyze fast path
+    * passes 3 and skips decompress+text for the rest. */
+  def parse(bytes: Array[Byte], maxTextPages: Int = Int.MaxValue): Either[String, Doc] = {
     try {
       if (bytes == null || bytes.length < 8 ||
           new String(bytes, 0, 5, StandardCharsets.ISO_8859_1) != "%PDF-")
@@ -471,7 +476,7 @@ object PdfExtract {
         case _ => Vector.empty
       }
 
-      val pages = kids.zipWithIndex.map { case (kidRef, idx) =>
+      val pages = kids.zipWithIndex.take(maxTextPages).map { case (kidRef, idx) =>
         val pageNum = idx + 1
         try {
           val pd = objs.resolve(kidRef) match {

@@ -38,7 +38,8 @@ object StreamExtract {
     val stream = spark.readStream.schema(schema).parquet(pagesDir)
     stream
       .withColumn("r", ocrspark.job.ExtractJob.extractUdf(
-        col("html"), col("text"), col("lang")))
+        col("html"), col("text"), col("lang"),
+        org.apache.spark.sql.functions.lit(false)))
       .withColumn("bucket", ocrspark.job.ExtractJob.bucketCol(
         ocrspark.job.ExtractJob.DefaultBuckets))
       .select(col("url"), col("warc_ts"), col("lang"), col("bucket"),

@@ -195,6 +195,37 @@ class ExtractSpec extends AnyFunSuite {
     assert(img.error != null && img.has_images)
   }
 
+  test("analyze fast path agrees with full extraction's routing columns") {
+    // PDFs of every flavor: the 3-page-sample analyzer must produce the
+    // exact routing values the full pipeline reports
+    val pdfs = Seq(
+      Synth.textPdfFor(0L, Synth.bodyFor(0L, longBody)),
+      Synth.textPdfFor(8L, longBody * 4), // multi-page
+      Synth.scannedPdfFor(16L, longBody),
+      Synth.scannedPdfFor(17L, "corto"),
+      Synth.corruptPdfFor(18L, longBody),
+      Synth.corruptPdfFor(38L, longBody))
+    pdfs.foreach { pdf =>
+      val full = Extract.extractDocument(pdf, null, "es")
+      val fast = Extract.analyzeDocument(pdf, null, "es")
+      assert(fast.route == full.route)
+      assert(fast.route_confidence == full.route_confidence)
+      assert(fast.has_text == full.has_text)
+      assert(fast.has_images == full.has_images)
+      assert(fast.text_length == full.text_length)
+      assert(fast.text_density == full.text_density)
+      assert(fast.pages == full.pages)
+    }
+    // image: constant analysis dict
+    val img = Extract.analyzeDocument(Synth.imageFor(7L), null, "es")
+    assert(img.route == "ocr" && img.route_confidence == 0.8 && img.has_images)
+    // html / upstream report their routes without running normalization
+    assert(Extract.analyzeDocument(Synth.htmlFor(1L, longBody), null, "es")
+      .route == "html_extraction")
+    assert(Extract.analyzeDocument(null, "texto upstream", "es")
+      .route == "upstream")
+  }
+
   test("e2e: upstream text wins over html payload") {
     val r = Extract.extractDocument(Synth.htmlFor(19L, "ignored"),
       "texto  upstream\n\n\ncon espacios", "es")

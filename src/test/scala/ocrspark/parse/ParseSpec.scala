@@ -94,4 +94,22 @@ class ParseSpec extends AnyFunSuite {
     assert(r.text.contains("uno"))
     assert(r.text.contains("dos"))
   }
+
+  test("visibleTextLength: ws-collapsed raw text, skips tags/comments/raw-text") {
+    // "uno dos tres" ws-collapsed = 12
+    assert(HtmlExtract.visibleTextLength(
+      "<p>uno\n  dos</p> <b>tres</b>") == 12)
+    assert(HtmlExtract.visibleTextLength(
+      "<script>var x = 1;</script><style>.a{}</style>ab") == 2)
+    assert(HtmlExtract.visibleTextLength("<!-- hidden -->ok") == 2)
+    assert(HtmlExtract.visibleTextLength("") == 0)
+    // includes boilerplate (raw page measure, unlike Arc90): the synth
+    // page's visible text exceeds the extracted main content
+    val para = "Contenido principal del documento con texto " * 5
+    val html = new String(ocrspark.job.Synth.htmlFor(3L, para),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val vis = HtmlExtract.visibleTextLength(html)
+    val main = HtmlExtract.extractMain(html).text.length
+    assert(vis > main, s"vis=$vis main=$main")
+  }
 }
