@@ -53,13 +53,18 @@ object IncrementalExtract {
       return Summary(table.currentSnapshotId.getOrElse(0L), 0, 0L,
         committed.size, noop = true)
     }
+    // ONE job for all per-bucket counts (bucket is the partition column,
+    // so this reads footer metadata + directory names only) — a per-
+    // bucket count() loop would be a driver-serial bottleneck at 100k
+    // buckets.
+    val counts = spark.read.parquet(staging)
+      .groupBy(col("bucket")).count()
+      .collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count"))
+      .toMap
     val entries = staged.map { case (b, files) =>
-      // count() over a parquet dir is footer-metadata only — no rescan
-      // of the extracted text.
-      val n = spark.read
-        .parquet(new java.io.File(staging, s"bucket=$b").getPath).count()
-      table.BucketEntry(b, files.map(_.getAbsolutePath), n,
-        files.map(_.length()).sum)
+      table.BucketEntry(b, files.map(_.getAbsolutePath),
+        counts.getOrElse(b, 0L), files.map(_.length()).sum)
     }
     val snap = table.commit(entries)
 

@@ -196,6 +196,14 @@ object Dedup {
 
   val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
+  /** Sign-LSH bucket-size distribution for an embedding corpus — the
+    * observability hook for [[embeddingNearDups]]'s cap. */
+  def embeddingBucketSizes(emb: DataFrame, idCol: String,
+                           vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+        Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+
   /** Bucket-size distribution for a corpus — the observability hook for
     * the MaxBucketSize cap (how many buckets / docs are over-cap). */
   def bucketSizes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -285,13 +293,23 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
-    * via sign-LSH buckets (see [[Similarity.hyperplaneBucket]]). */
+    * via sign-LSH buckets (see [[Similarity.hyperplaneBucket]]).
+    * Degenerate buckets (zero vectors, tightly clustered embeddings)
+    * are excluded by the same [[MaxBucketSize]] cap as the text LSH
+    * paths — observable via [[embeddingBucketSizes]] — so the per-bucket
+    * self-join can never go quadratic at scale. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95): DataFrame = {
     val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
-    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = withB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucketSize)
+      .select(col("bucket"))
+    val capped = withB.join(okBuckets, Seq("bucket"))
+    val a = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -169,6 +169,21 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("embedding near-dups: degenerate bucket is capped, never quadratic") {
+    import spark.implicits._
+    // 1000 identical vectors land in ONE sign-LSH bucket; uncapped this
+    // self-join is 499500 pairs. The MaxBucketSize cap must exclude the
+    // bucket entirely (and the size must be observable).
+    val v = Array.fill(32)(0.5f)
+    val degen = spark.createDataset((0L until 1000L).map(i => (i, v)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(degen, "vec_id", "embedding", 0.9).count()
+    assert(pairs == 0L, s"degenerate bucket not capped: $pairs pairs")
+    val sizes = Dedup.embeddingBucketSizes(degen, "vec_id", "embedding")
+      .filter($"bn" > Dedup.MaxBucketSize).as[(Int, Long)].collect()
+    assert(sizes.nonEmpty && sizes.head._2 == 1000L)
+  }
+
   // ---------------- text ops ----------------
   test("token counts: ws and bpe-ish") {
     import spark.implicits._
