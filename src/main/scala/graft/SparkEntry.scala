@@ -46,19 +46,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // F8: markdown report assembly (reference app.py:1014-1054 shape).
+    // F8: markdown report assembly — full reference template
+    // (generate_markdown_report, app.py:1014-1054): processing-info
+    // section, title-cased fields in extraction order, fenced content,
+    // footer. Runs the real extraction over the pages table.
     "f8_markdown_report" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"),
-          ocrspark.functions.GraftFunctions
-            .normalize_text(col("text"), col("lang")).as("text_norm"))
-        .withColumn("fields",
-          ocrspark.functions.GraftFunctions.extract_fields(col("text_norm")))
-        .select(col("doc_id"), concat(
-          lit("# Documento "), col("doc_id"),
-          lit("\n\n## Texto Extraído\n\n"), col("text_norm"),
-          lit("\n\n## Campos\n\n"), to_json(col("fields"))).as("report"))
-        .orderBy(col("doc_id"))
+      val pages = ocrspark.job.Synth.pagesDF(s, dir)
+      pages
+        .withColumn("size_bytes", octet_length(col("html")).cast("long"))
+        .withColumn("r", ocrspark.job.ExtractJob.extractUdf(
+          col("html"), col("text"), col("lang"), lit(false)))
+        .select(col("url"), ocrspark.text.Report.markdownUdf(
+          col("url"), col("warc_ts"), col("lang"), col("size_bytes"),
+          col("r.method"), col("r.pages"), col("r.confidence"),
+          col("r.text"), col("r.fields")).as("report"))
+        .orderBy(col("url"))
     }),
 
     // F9/S6: JSON metadata sink shape — to_json(struct(...)) per doc.
