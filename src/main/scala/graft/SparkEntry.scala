@@ -168,6 +168,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // A3: best-of argmax (the Arc90 best-candidate / best-page shape) —
+    // highest-value event per user, ties to smallest event_id —
+    // DuckDB-verified.
+    "a3_argmax" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // O12: snapshot-commit + resume — partial run (buckets <20), then a
     // resumed full run; output is the final lineage. Deterministic:
     // bucket provenance must show snapshot 1 for <20 and 2 for the rest.
@@ -311,6 +325,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // M2: frame-sampling explode + resize planning over media metadata
+    // (multimodal plumbing beyond decode — stride-4 frame keys, 224-box
+    // aspect-preserving resize arithmetic).
+    "m2_frame_sample" -> ((s, dir) => {
+      val pages = ocrspark.job.Synth.pagesDF(s, dir)
+        .select(xxhash64(col("url")).as("id"), col("html"))
+      val meta = ocrspark.ops.Multimodal.withMediaMetadata(pages, "id", "html")
+      ocrspark.ops.Multimodal.resizePlan(
+          ocrspark.ops.Multimodal.sampleFrames(meta, "id", everyN = 4)
+            .join(meta.select(col("id"), col("width"), col("height")), Seq("id")),
+          maxSide = 224)
+        .select(col("id"), col("frame_idx"), col("frame_key"),
+          col("scale"), col("out_w"), col("out_h"))
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
     // Example TPC-H-style agg (driver contract smoke query).
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -375,6 +405,13 @@ object SparkEntry {
         |  FLOOR(octet_length(encode(text)) / 1048576.0 * 1000000.0 + 0.5)
         |    / 1000000.0 AS size_mb
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "a3_argmax" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "w1_first_k" ->
       """SELECT event_type, event_id, rn FROM (
         |  SELECT event_type, event_id,
