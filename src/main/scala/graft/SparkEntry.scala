@@ -63,13 +63,38 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
-    // F9/S6: JSON metadata sink shape — to_json(struct(...)) per doc.
+    // F9/S6: JSON metadata sink — the reference /process response shape
+    // (app.py:957-975 key set and order: success, filename,
+    // pages_processed, processing_time, processing_method, language,
+    // file_size_mb, confidence, timestamp, extracted_fields?, text).
+    // Deterministic deviations: processing_time fixed 0.0, timestamp
+    // from warc_ts, extracted_fields key-sorted. to_json drops the
+    // null extracted_fields when no fields fired (the reference omits
+    // the key likewise).
     "f9_json_metadata" -> ((s, dir) => {
-      ocrspark.job.ExtractJob.run(ocrspark.job.Synth.pagesDF(s, dir))
+      ocrspark.job.Synth.pagesDF(s, dir)
+        .withColumn("size_bytes", octet_length(col("html")))
+        .withColumn("r", ocrspark.job.ExtractJob.extractUdf(
+          col("html"), col("text"), col("lang"), lit(false)))
         .select(col("url"), to_json(struct(
-          col("method"), col("pages"), col("confidence"),
-          col("processed_pages"), col("low_confidence_pages"),
-          col("fields"))).as("metadata_json"))
+          col("r.error").isNull.as("success"),
+          element_at(split(col("url"), "/"), -1).as("filename"),
+          col("r.pages").as("pages_processed"),
+          lit(0.0).as("processing_time"),
+          col("r.method").as("processing_method"),
+          when(col("lang") === "es", "spa")
+            .when(col("lang") === "en", "eng")
+            .otherwise(col("lang")).as("language"),
+          (floor(col("size_bytes") / lit(1048576.0) * lit(100.0) + lit(0.5))
+            / lit(100.0)).as("file_size_mb"),
+          (floor(col("r.confidence") * lit(100.0) + lit(0.5)) / lit(100.0))
+            .as("confidence"),
+          date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("timestamp"),
+          when(size(col("r.fields")) > 0,
+            map_from_entries(array_sort(map_entries(col("r.fields")))))
+            .as("extracted_fields"),
+          col("r.text").as("text"))).as("metadata_json"))
         .orderBy(col("url"))
     }),
 

@@ -76,12 +76,24 @@ object ScalingBench {
         // accordingly or 4 shards × 32 default GC threads thrash
         s"-XX:ParallelGCThreads=$cores", s"-XX:CICompilerCount=2",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC")
+    // LPT file→shard assignment (largest file to least-loaded shard):
+    // a static round-robin split leaves one shard with the expensive
+    // url-range (zipfian hosts → uneven per-file extraction cost) and
+    // pessimistically mismodels a real cluster, where executors pull
+    // tasks dynamically from the driver. Balancing by byte size is the
+    // closest static analog of that scheduler.
     val allFiles = new java.io.File(pagesPath).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      .filter(_.getName.endsWith(".parquet")).sortBy(-_.length())
+    val shardLoads = Array.fill(nShards)(0L)
+    val assignment = Array.fill(nShards)(Vector.newBuilder[String])
+    allFiles.foreach { f =>
+      val tgt = shardLoads.zipWithIndex.minBy(_._1)._2
+      shardLoads(tgt) += f.length()
+      assignment(tgt) += f.getAbsolutePath
+    }
     val procs = (0 until nShards).map { i =>
       val out = java.io.File.createTempFile(s"shard$i-", ".out")
-      val shardFiles = allFiles.zipWithIndex
-        .collect { case (f, j) if j % nShards == i => f }
+      val shardFiles = assignment(i).result()
       val pb = new ProcessBuilder(
         (Seq(javaBin) ++ opts ++ Seq("-cp", cp, "ocrspark.bench.ShardMain",
           i.toString, cores.toString, shardFiles.mkString(","))): _*)
