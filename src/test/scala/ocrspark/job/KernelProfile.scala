@@ -25,5 +25,18 @@ class KernelProfile extends AnyFunSuite {
       time(s"analyze/$k", 2000) { Extract.analyzeDocument(bytes, null, "es") }
       time(s"extract/$k", 2000) { Extract.extractDocument(bytes, null, "es") }
     }
+    // stage-level breakdown of the extract kernel on a text PDF
+    val pdf = Synth.textPdfFor(8L, body * 4)
+    val doc = ocrspark.parse.PdfExtract.parse(pdf).toOption.get
+    val rawText = doc.pages.map(_.text).mkString("\n")
+    val norm = ocrspark.text.Normalize.normalize(rawText, "es")
+    time("stage/pdf_parse", 2000) { ocrspark.parse.PdfExtract.parse(pdf) }
+    time("stage/normalize", 2000) { ocrspark.text.Normalize.normalize(rawText, "es") }
+    time("stage/fields", 2000) { ocrspark.text.Fields.extract(norm) }
+    val html = Synth.htmlFor(1L, body)
+    val htmlStr = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val arc = ocrspark.parse.HtmlExtract.extractMain(htmlStr)
+    time("stage/arc90", 2000) { ocrspark.parse.HtmlExtract.extractMain(htmlStr) }
+    time("stage/html_norm", 2000) { ocrspark.text.Normalize.normalize(arc.text, "es") }
   }
 }

@@ -44,6 +44,84 @@ object TextProps extends Properties("ocrspark.text") {
       Normalize.applyCorrections(t) == Normalize.applyCorrectionsSequential(t)
     }
 
+  // adversarial generator for the hand-rolled correction scanner: exact
+  // keys, case variants, fold corner cases ('İ' folds to I char-wise;
+  // 'ı' folds to... see Normalize.foldChar), embedded/prefixed word
+  // chars (no \b), supplementary letters (𝐀 is \w in regex), connector
+  // punctuation, ZWJ, NBSP edges, Cyrillic Л (in key PENAЛ).
+  private val foldy = Gen.oneOf(
+    "FISCALIA", "fiscalia", "FlSCALÍA", "fİscalia", "Fıscalia",
+    "XFISCALIA", "FISCALIAX", "FISCALIA_", "_FISCALIA", "FISCALIA9",
+    "𝐀FISCALIA", "FISCALIA‍x", "penaЛ", "PENAл", "PENAL",
+    "min­isterio", "MINISTERIO", "carfeta", "CARFETA",
+    "exp‌ediente", "ARTICULO", "articulo.", "(articulo)",
+    " PUBLICO ", "中文PUBLICO", "püblico", "PUBLİCO")
+  private val foldyText: Gen[String] =
+    Gen.listOfN(25, Gen.frequency(3 -> foldy, 2 -> ws,
+      1 -> Gen.oneOf(".", "-", "°", "𝒳", "‍", "́")))
+      .map(_.mkString(""))
+
+  property("scanner dict correction equals the regex alternation (adversarial folds)") =
+    forAll(foldyText) { t =>
+      Normalize.applyCorrections(t) == Normalize.applyCorrectionsRegex(t)
+    }
+
+  // whitespace-torture generator for the hand ws kernels: every Unicode
+  // White_Space char, runs, CRLF mixes, 0x1C-0x1F (NOT \s in Java UCC),
+  // NBSP, interleaved words
+  private val wsChar = Gen.oneOf(
+    "\t", "\n", "\u000B", "\u000C", "\r", " ", "\u0085", "\u00A0",
+    "\u1680", "\u2000", "\u2003", "\u2008", "\u200A", "\u2028",
+    "\u2029", "\u202F", "\u205F", "\u3000", "\u001C", "\u001F")
+  private val wsText: Gen[String] =
+    Gen.listOfN(30, Gen.frequency(4 -> wsChar, 2 -> Gen.oneOf("a", "b", "ñ"),
+      1 -> Gen.oneOf("\n\n", "\n\n\n", "\r\n\r\n", "\n \n \n", "\n \n\t\n")))
+      .map(_.mkString(""))
+
+  property("collapseWsRuns equals regex \\s{2,} replaceAll") =
+    forAll(wsText) { t =>
+      val ref = java.util.regex.Pattern.compile("\\s{2,}",
+        Normalize.UniFlags | java.util.regex.Pattern.MULTILINE)
+        .matcher(t).replaceAll(" ")
+      Normalize.collapseWsRuns(t) == ref
+    }
+
+  property("collapseNl3 equals regex \\n{3,} replaceAll") =
+    forAll(wsText) { t =>
+      val ref = java.util.regex.Pattern.compile("\\n{3,}",
+        Normalize.UniFlags | java.util.regex.Pattern.MULTILINE)
+        .matcher(t).replaceAll("\n\n")
+      Normalize.collapseNl3(t) == ref
+    }
+
+  property("collapseCrLf/SpTab/TripleNl equal the cleanup-tail regexes") =
+    forAll(wsText) { t =>
+      Normalize.collapseCrLf(t) == Normalize.reCrLf.matcher(t).replaceAll("\n") &&
+      Normalize.collapseSpTab(t) == Normalize.reSpTab.matcher(t).replaceAll(" ") &&
+      Normalize.collapseTripleNl(t) == Normalize.reTripleNl.matcher(t).replaceAll("\n\n")
+    }
+
+  property("isWsCh equals java regex \\s under UNICODE_CHARACTER_CLASS") = {
+    val s = java.util.regex.Pattern.compile("\\s",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    Prop(((0 to 0xD7FF) ++ (0xE000 to 0xFFFF)).forall { cp =>
+      s.matcher(String.valueOf(cp.toChar)).matches() ==
+        Normalize.isWsCh(cp.toChar)
+    })
+  }
+
+  property("isWordCp equals java regex \\w under UNICODE_CHARACTER_CLASS") = {
+    val w = java.util.regex.Pattern.compile("\\w",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    // full BMP sweep minus surrogates, plus an astral sample
+    val cps = (0 to 0xD7FF) ++ (0xE000 to 0xFFFF) ++
+      Seq(0x10000, 0x1D400, 0x1D7CE, 0x1F600, 0x2070E)
+    Prop(cps.forall { cp =>
+      val s = new String(Character.toChars(cp))
+      w.matcher(s).matches() == Normalize.isWordCp(cp)
+    })
+  }
+
   property("pyStrip is idempotent and strips all edge whitespace") =
     forAll(anyText) { t =>
       val s = Normalize.pyStrip(t)

@@ -212,6 +212,13 @@ def build_inputs(env):
         "t_mixed_case_keys": "Fiscalia Ministerio Publico Codigo Articulo Titulo",
         "t_repeat_keys": "PUBLICO PUBLICO PUBLICO CODIGO CODIGO",
         "t_long_line": ("CONTRA EL PATRIMONIO " * 40).strip(),
+        # CPython IGNORECASE extra-cases folding: dotless ı and dotted İ
+        # both match I/i in patterns (sre extra cases), Kelvin sign K
+        # matches K/k. Pins the engine's char-wise fold scanner.
+        "t_fold_dotless_i": "Fıscalia PUBLıCO mınısterıo",
+        "t_fold_dotted_I": "FİSCALIA fİscalia PUBLİCO",
+        "t_fold_kelvin": "KODIGO CODIGO K",
+        "t_fold_long_s": "ſiscalia FIſCALIA",
     })
     return inputs
 
