@@ -308,6 +308,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // S4: IVF (k-means inverted-file) approximate top-k — the
+    // data-adaptive ANN scale path next to s3's hash-bucket LSH.
+    "s4_ivf_topk" -> ((s, dir) => {
+      ocrspark.ops.Similarity.ivfTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10,
+          nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // T1: token counting + quality ratios (pure column expressions,
     // DuckDB-verified).
     "t1_text_stats" -> ((s, dir) => {

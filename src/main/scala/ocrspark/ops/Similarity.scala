@@ -119,4 +119,117 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer + cell probing
+  // ------------------------------------------------------------------
+
+  private def sqDist(a: Array[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d.toDouble * d; i += 1 }
+    s
+  }
+
+  private def nearestCell(v: Seq[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = sqDist(cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(v: Seq[Float], cs: Array[Array[Float]],
+                           nProbe: Int): Array[Int] =
+    cs.indices.sortBy(c => sqDist(cs(c), v)).take(nProbe).toArray
+
+  /** Deterministic Lloyd's k-means over the embedding column.
+    * Initialization is the k vectors with the smallest ids (stable, no
+    * RNG). Each round is ONE distributed pass: mapPartitions emits
+    * per-partition (cell, sumVector, count) partials — k×d doubles per
+    * partition, never raw vectors — reduced on the driver (partials are
+    * numPartitions×k rows; the MLlib-style scalable shape). Empty cells
+    * keep their previous centroid. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 4): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var centroids: Array[Array[Float]] =
+      ds.orderBy(col(idCol)).limit(k).collect().map(_._2)
+    var it = 0
+    while (it < iters && centroids.nonEmpty) {
+      val cs = centroids
+      val partials = ds.mapPartitions { rows =>
+        val kk = cs.length
+        val d = cs(0).length
+        val sums = Array.fill(kk)(new Array[Double](d))
+        val counts = new Array[Long](kk)
+        rows.foreach { case (_, v) =>
+          val c = nearestCell(v, cs)
+          val s = sums(c)
+          var j = 0
+          val n = math.min(d, v.length)
+          while (j < n) { s(j) += v(j); j += 1 }
+          counts(c) += 1
+        }
+        Iterator.range(0, kk).filter(counts(_) > 0)
+          .map(c => (c, sums(c), counts(c)))
+      }.collect()
+      val sums = Array.fill(cs.length)(new Array[Double](cs(0).length))
+      val counts = new Array[Long](cs.length)
+      partials.foreach { case (c, s, n) =>
+        var j = 0
+        while (j < s.length) { sums(c)(j) += s(j); j += 1 }
+        counts(c) += n
+      }
+      centroids = Array.tabulate(cs.length) { c =>
+        if (counts(c) == 0) cs(c)
+        else {
+          val out = new Array[Float](sums(c).length)
+          var j = 0
+          while (j < out.length) {
+            out(j) = (sums(c)(j) / counts(c)).toFloat; j += 1
+          }
+          out
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: the corpus is partitioned into `nCells`
+    * k-means cells (one assignment pass; the coarse quantizer ships in
+    * task closures — k×d floats); each query probes its `nProbe`
+    * nearest cells and scores only those slices with exact cosine.
+    * Scanned fraction ≈ nProbe/nCells per query — the IVF scale path
+    * next to [[lshTopK]]'s hash-bucket one (IVF adapts to the data
+    * distribution; LSH needs no training pass). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, nCells: Int = 16,
+              nProbe: Int = 4, iters: Int = 4): DataFrame = {
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val assign = udf((v: Seq[Float]) => nearestCell(v, centroids))
+    val probes = udf((v: Seq[Float]) => nearestCells(v, centroids, nProbe))
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), assign(col(vecCol)).as("cell"))
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probes(col(vecCol))).as("cell"))
+    val joined = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineUdf(col("qv"), col("nv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

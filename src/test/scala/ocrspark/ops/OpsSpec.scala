@@ -153,6 +153,38 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF top-k recall vs brute force on clustered data") {
+    import spark.implicits._
+    def unit(seed: Long, j: Int): Float = {
+      var z = seed * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 31
+      ((z >>> 11).toDouble / (1L << 52).toDouble - 1.0).toFloat
+    }
+    val dim = 32
+    val data = (0 until 1000).map { i =>
+      val c = i % 40
+      val v = Array.tabulate(dim)(j => unit(c + 7L, j) + 0.15f * unit(i + 9999L, j))
+      (i.toLong, v)
+    }
+    val df = spark.createDataset(data).toDF("vec_id", "embedding")
+    val queries = (0L until 20L).toSeq
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", queries, 10,
+      nCells = 32, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // k-means cells track the planted clusters, so IVF should beat the
+    // hash-bucket LSH floor comfortably
+    assert(recall >= 0.8, s"recall=$recall")
+    // ranked, self-excluding contract (same as the other top-k ops)
+    val r = Similarity.ivfTopK(df, "vec_id", "embedding", Seq(0L), 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.map(_._4).sorted.toSeq == (1 to 5))
+    assert(r.forall(x => x._2 != x._1))
+  }
+
   test("embedding near-dups: planted perturbed copies are found") {
     import spark.implicits._
     val base = emb.select($"vec_id", $"embedding")
