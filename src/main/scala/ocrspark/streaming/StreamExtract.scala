@@ -128,4 +128,42 @@ object StreamExtract {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout())(sessionize(gapMs))
   }
+
+  // ---- streaming exact dedup ----------------------------------------
+
+  case class DocEvent(doc_id: Long, text: String)
+
+  /** Streaming exact dedup: emit each distinct text ONCE across the
+    * whole stream (state survives micro-batches via the checkpoint),
+    * keyed by a 128-bit content hash so the state store never holds
+    * text — the streaming analog of [[ocrspark.ops.Dedup.exactDedup]].
+    * State per key is just the keeper id; a duplicate arriving any
+    * number of batches later emits nothing. flatMapGroupsWithState is
+    * used (not dropDuplicates) so the keeper choice — smallest id within
+    * the batch, first-batch-wins across batches — is explicit and
+    * testable. */
+  def dedupFirstSeen(
+      key: String, rows: Iterator[DocEvent],
+      state: GroupState[Long]): Iterator[DocEvent] = {
+    if (state.exists || !rows.hasNext) Iterator.empty
+    else {
+      val keeper = rows.minBy(_.doc_id)
+      state.update(keeper.doc_id)
+      Iterator.single(keeper)
+    }
+  }
+
+  /** Wire the stateful dedup over a stream of documents. The group key
+    * is md5(text) (content-derived, shuffle carries hash+id+text of the
+    * batch only; the STATE holds just hash → keeper id). */
+  def dedupStream(docs: Dataset[DocEvent]): Dataset[DocEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(if (d.text == null) Array.emptyByteArray
+          else d.text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(dedupFirstSeen)
+  }
 }

@@ -99,6 +99,45 @@ class StreamSpec extends AnyFunSuite {
     assert(out.head.end_ts.getTime == base + 1000)
   }
 
+  test("streaming exact dedup emits each distinct text once across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedup_docs").toString
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val sink = Files.createTempDirectory("dedup_sink").toString
+
+    def deposit(docs: Seq[StreamExtract.DocEvent]): Unit =
+      docs.toDS().write.mode("append").parquet(dir)
+    def runAvailable(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamExtract.DocEvent]].schema)
+        .parquet(dir).as[StreamExtract.DocEvent]
+      val q = StreamExtract.dedupStream(stream).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: texts A (ids 5, 3 — keeper must be 3), B (id 10)
+    deposit(Seq(StreamExtract.DocEvent(5, "texto A"),
+      StreamExtract.DocEvent(3, "texto A"),
+      StreamExtract.DocEvent(10, "texto B")))
+    runAvailable()
+    val out1 = spark.read.parquet(sink).as[StreamExtract.DocEvent]
+      .collect().sortBy(_.doc_id)
+    assert(out1.map(_.doc_id).toSeq == Seq(3L, 10L))
+
+    // batch 2: A again (id 1 — already-seen content must NOT re-emit,
+    // even with a smaller id: first-batch-wins), plus new text C
+    deposit(Seq(StreamExtract.DocEvent(1, "texto A"),
+      StreamExtract.DocEvent(7, "texto C")))
+    runAvailable()
+    val out2 = spark.read.parquet(sink).as[StreamExtract.DocEvent]
+      .collect().sortBy(_.doc_id)
+    assert(out2.map(_.doc_id).toSeq == Seq(3L, 7L, 10L),
+      s"got ${out2.toSeq}")
+  }
+
   /** Minimal GroupState stub for direct unit-testing of the state fn. */
   class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
