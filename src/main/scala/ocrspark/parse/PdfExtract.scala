@@ -69,6 +69,49 @@ object PdfExtract {
       while (p < len && !isWs(peek) && !isDelim(peek)) p += 1
       new String(b, s, p - s, StandardCharsets.ISO_8859_1)
     }
+
+    /** Fast path for content-stream numbers: [+-]?digits[.digits]
+      * parsed directly from bytes (no String, no ref-lookahead — content
+      * streams contain no indirect references). Falls back to
+      * Double.parseDouble via token() on long/exotic forms so the value
+      * is bit-identical to the general path. */
+    def parseNumber(): Double = {
+      skipWs()
+      val s = p
+      var neg = false
+      if (peek == '+') p += 1
+      else if (peek == '-') { neg = true; p += 1 }
+      // accumulate ALL digits into one long and divide once by 10^frac:
+      // both operands exact for ≤15 digits, so the single IEEE division
+      // equals Double.parseDouble's correctly-rounded result
+      var mantissa = 0L
+      var digits = 0
+      var fracDigits = -1 // -1 = no dot seen
+      var exotic = false
+      var go = true
+      while (go && p < len) {
+        val ch = peek
+        if (ch >= '0' && ch <= '9') {
+          mantissa = mantissa * 10 + (ch - '0'); digits += 1
+          if (fracDigits >= 0) fracDigits += 1
+          p += 1
+        } else if (ch == '.') {
+          if (fracDigits >= 0) exotic = true // second dot
+          fracDigits = 0
+          p += 1
+        } else go = false
+      }
+      if (exotic || digits == 0 || digits > 15 ||
+          (p < len && !isWs(peek) && !isDelim(peek))) {
+        // exotic (1e5, 1.2.3, empty, trailing junk) — general path
+        p = s
+        return token().toDouble
+      }
+      val value =
+        if (fracDigits <= 0) mantissa.toDouble
+        else mantissa / math.pow(10, fracDigits)
+      if (neg) -value else value
+    }
     def expect(kw: String): Unit = {
       val t = token()
       if (t != kw) throw new PdfError(s"expected '$kw' got '$t' @$p")
@@ -233,11 +276,18 @@ object PdfExtract {
     -1
   }
 
+  /** Last occurrence, scanning BACKWARD — startxref/trailer sit near the
+    * end of the file, so this is O(tail) not O(file). */
   private def rfind(b: Array[Byte], needle: String): Int = {
-    var best = -1
-    var i = find(b, needle, 0)
-    while (i >= 0) { best = i; i = find(b, needle, i + 1) }
-    best
+    val n = needle.getBytes(StandardCharsets.ISO_8859_1)
+    var i = b.length - n.length
+    while (i >= 0) {
+      var j = 0
+      while (j < n.length && b(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i -= 1
+    }
+    -1
   }
 
   /** Object offsets via the xref table; throws on any irregularity
@@ -385,8 +435,9 @@ object PdfExtract {
 
     while ({ l.skipWs(); l.p < l.len }) {
       val c = l.peek
-      if (c == '/' || c == '(' || c == '<' || c == '[' ||
-          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+      if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        operands += PNum(l.parseNumber()) // no refs in content streams
+      } else if (c == '/' || c == '(' || c == '<' || c == '[') {
         operands += l.parseVal()
       } else {
         val op = l.token()

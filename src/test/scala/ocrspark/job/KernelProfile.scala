@@ -38,5 +38,13 @@ class KernelProfile extends AnyFunSuite {
     val arc = ocrspark.parse.HtmlExtract.extractMain(htmlStr)
     time("stage/arc90", 2000) { ocrspark.parse.HtmlExtract.extractMain(htmlStr) }
     time("stage/html_norm", 2000) { ocrspark.text.Normalize.normalize(arc.text, "es") }
+    // compressed vs uncompressed PDF parse: how much is inflate?
+    val lines = (body * 4).split('\n').toVector
+    val spec = (0 until 4).map(p => ocrspark.parse.PdfWriter.PageSpec(
+      Vector(lines.slice(p * 3, p * 3 + 3))))
+    val pdfC = ocrspark.parse.PdfWriter.build(spec, compress = true)
+    val pdfU = ocrspark.parse.PdfWriter.build(spec, compress = false)
+    time("stage/parse_compressed", 2000) { ocrspark.parse.PdfExtract.parse(pdfC) }
+    time("stage/parse_plain", 2000) { ocrspark.parse.PdfExtract.parse(pdfU) }
   }
 }
