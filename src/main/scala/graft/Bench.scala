@@ -94,6 +94,24 @@ object Bench {
     }
     results += ("d2_minhash_pairs" -> dedupSec)
 
+    if (sys.env.contains("SPARK_GRAFT_D2_BREAKDOWN")) {
+      val corpus = ocrspark.ops.DedupCorpus.withPlantedDups(
+        docs.select(col("doc_id"), col("text"), col("lang")))
+      val (a, na) = timed { corpus.count() }
+      val (b, _) = timed {
+        corpus.select(ocrspark.ops.Dedup.minhash(col("text")).as("mh"))
+          .agg(count(lit(1))).collect(); 0L
+      }
+      val (c, nc) = timed {
+        ocrspark.ops.Dedup.minhashPairs(corpus, "doc_id", "text", 0.7).count()
+      }
+      val wm = ocrspark.ops.Dedup.minhashSketches(corpus, "doc_id", "text")
+      val (d, _) = timed { wm.count() }
+      val (e, _) = timed { ocrspark.ops.Dedup.minhashCandidates(wm).count() }
+      System.err.println(
+        f"[d2] corpus=$a%.2fs ($na docs) sketch=$b%.2fs full=$c%.2fs ($nc pairs) persist=$d%.2fs cand=$e%.2fs")
+    }
+
     val (annSec, _) = timed {
       SparkEntry.queries("s2_cosine_topk")(spark, sfDir).count()
     }

@@ -87,8 +87,9 @@ object Dedup {
     out
   }
 
-  /** 64 minhashes in one pass over the shingle hashes (row-local). */
-  def minhashImpl(text: String): Array[Long] = {
+  /** Classic k-independent-permutation sketch (differential reference;
+    * was the production path until round 2 — 64 multiplies per shingle). */
+  private[ops] def minhashClassicImpl(text: String): Array[Long] = {
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     if (text == null) return mins
     val shingles = shingleHashes(text)
@@ -103,6 +104,55 @@ object Dedup {
         i += 1
       }
       si += 1
+    }
+    mins
+  }
+
+  /** 64-slot minhash signature via ONE-PERMUTATION HASHING (Li et al.,
+    * NIPS 2012): each shingle is mixed once (SplitMix64 finalizer) and
+    * binned by its top 6 bits; the signature keeps the min per bin —
+    * one multiply-free mix per shingle instead of 64 affine transforms,
+    * ~20× less sketch CPU at identical signature width. Empty bins are
+    * densified by circular borrow from the nearest filled bin
+    * (Shrivastava & Li 2014 rotation), so banding still behaves on
+    * short documents; the collision probability per slot remains ≈ the
+    * Jaccard similarity, which [[estJaccard]] and the band-LSH both
+    * rely on (planted recall/precision pinned in OpsSpec). */
+  def minhashImpl(text: String): Array[Long] = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    if (text == null) return mins
+    val shingles = shingleHashes(text)
+    var si = 0
+    while (si < shingles.length) {
+      var z = shingles(si) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      val bin = (z >>> 58).toInt // top 6 bits → 64 bins
+      if (z < mins(bin)) mins(bin) = z
+      si += 1
+    }
+    // densify: borrow each empty bin's value from the nearest ORIGINAL
+    // filled bin to its right (circular). All-empty (blank doc) stays
+    // all-MaxValue — two blank docs still estimate J=1 as before.
+    var anyFilled = false
+    val filled = new Array[Boolean](NumHashes)
+    var i = 0
+    while (i < NumHashes) {
+      filled(i) = mins(i) != Long.MaxValue
+      anyFilled ||= filled(i)
+      i += 1
+    }
+    if (anyFilled) {
+      i = 0
+      while (i < NumHashes) {
+        if (!filled(i)) {
+          var j = (i + 1) % NumHashes
+          while (!filled(j)) j = (j + 1) % NumHashes
+          mins(i) = mins(j)
+        }
+        i += 1
+      }
     }
     mins
   }
@@ -126,36 +176,60 @@ object Dedup {
     * truncating pair QUALITY: every surviving pair is still exact. */
   val MaxBucketSize = 64
 
+  /** All i<j pairs of a (sorted, cap-bounded) bucket member list —
+    * ≤ MaxBucketSize²/2 pairs, generated inside the bucket's own
+    * aggregation row (no self-join). */
+  private val bucketPairs = udf((ids: Seq[Long]) => {
+    val s = ids.sorted
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
+
   /** MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard ≥ threshold),
-    * id_a < id_b, distinct. Shuffles only (band_sig, id, minhash). */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.7): DataFrame = {
-    // the band self-join scans its input twice: persist the sketches so
-    // text is shingled/minhashed ONCE. (At lake scale the same thing is
-    // done by materializing the sketch table to storage first.)
-    val withMh = df.select(col(idCol).as("id"),
-      minhash(col(textCol)).as("mh"))
+    * id_a < id_b, distinct.
+    *
+    * Plan shape (one banding shuffle, no self-join): band rows group by
+    * (band, sig) into a capped member list — `collect_list` is safe
+    * because the [[MaxBucketSize]] filter bounds every kept group — and
+    * pairs explode from the list in place. The old shape (bucket-size
+    * agg + semi-join + self-join) was three extra exchanges carrying
+    * the same information. Shuffled payload is (band_sig, id) and
+    * (id, sketch); text never moves. */
+  def minhashSketches(df: DataFrame, idCol: String,
+                                   textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), minhash(col(textCol)).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def minhashCandidates(withMh: DataFrame): DataFrame = {
     // band signature = hash of the band's 4 minhashes
-    val bands = withMh.select(col("id"), col("mh"),
+    val bands = withMh.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
         s"b -> hash(b, slice(mh, b * $BandSize + 1, $BandSize)))"))
         .as(Seq("band", "sig")))
-    // enforce the degenerate-bucket cap (see MaxBucketSize)
-    val okBuckets = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBucketSize)
-      .select(col("band"), col("sig"))
-    val capped = bands.join(okBuckets, Seq("band", "sig"))
-    val a = capped.select(col("band"), col("sig"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("sig"), col("id").as("id_b"))
-    // distinct FIRST: a pair can collide in up to NumBands buckets; score
-    // each unique candidate once, not once per matching band
-    val candidates = a.join(b, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // distinct: a pair can collide in up to NumBands buckets; score each
+    // unique candidate once
+    bands.groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")) >= 2 &&
+        size(col("members")) <= MaxBucketSize) // degenerate-bucket cap
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
-    candidates
+  }
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7): DataFrame = {
+    // sketches are scanned twice (banding + rescoring): persist so text
+    // is shingled/minhashed ONCE. (At lake scale the same thing is done
+    // by materializing the sketch table to storage first.)
+    val withMh = minhashSketches(df, idCol, textCol)
+    minhashCandidates(withMh)
       .join(withMh.select(col("id").as("id_a"), col("mh").as("mh_a")), Seq("id_a"))
       .join(withMh.select(col("id").as("id_b"), col("mh").as("mh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -218,28 +292,43 @@ object Dedup {
   /** SimHash near-dup pairs with hamming ≤ maxDist, candidates via the
     * pigeonhole principle: split 64 bits in 4 blocks of 16; any pair at
     * distance ≤3 shares at least one intact block. */
+  /** All i<j pairs of a bucket's (id, simhash) members with their
+    * hamming distance, computed inside the aggregation row. */
+  private val simhashBucketPairs =
+    udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val s = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val out = Vector.newBuilder[(Long, Long, Int)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) {
+          out += ((s(i)._1, s(j)._1,
+            java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "pigeonhole blocks sized for maxDist ≤ 3")
-    val withSh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = withSh.select(col("id"), col("sh"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (shiftright(sh, b * 16) & 65535))"))
-        .as(Seq("block", "sig")))
-    val okBlocks = blocks.groupBy(col("block"), col("sig"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBucketSize)
-      .select(col("block"), col("sig"))
-    val capped = blocks.join(okBlocks, Seq("block", "sig"))
-    val a = capped.select(col("block"), col("sig"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = capped.select(col("block"), col("sig"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("block", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingUdf(col("sh_a"), col("sh_b")).as("hamming"))
+    // same one-shuffle capped-bucket shape as minhashPairs; members
+    // carry (id, 64-bit sketch) so the pair udf scores hamming in place
+    val blocks = df
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (shiftright(sh, b * 16) & 65535))"))
+          .as(Seq("block", "sig")))
+    blocks.groupBy(col("block"), col("sig"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")) >= 2 &&
+        size(col("members")) <= MaxBucketSize)
+      .select(explode(simhashBucketPairs(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
@@ -298,22 +387,39 @@ object Dedup {
     * are excluded by the same [[MaxBucketSize]] cap as the text LSH
     * paths — observable via [[embeddingBucketSizes]] — so the per-bucket
     * self-join can never go quadratic at scale. */
+  /** All i<j pairs of a bucket's (id, vector) members with cosine,
+    * scored inside the aggregation row (bucket size is cap-bounded, so
+    * the group carries ≤ MaxBucketSize vectors). */
+  private val embBucketPairs =
+    udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val s = members
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) {
+          val c = Similarity.cosineImpl(s(i)._2, s(j)._2)
+          out += ((s(i)._1, s(j)._1,
+            math.floor(c * 1e6 + 0.5) / 1e6)) // round(·, 6), half-up
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95): DataFrame = {
-    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val okBuckets = withB.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBucketSize)
-      .select(col("bucket"))
-    val capped = withB.join(okBuckets, Seq("bucket"))
-    val a = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Similarity.cosineUdf(col("v_a"), col("v_b")), 6).as("cosine"))
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .filter(size(col("members")) >= 2 &&
+        size(col("members")) <= MaxBucketSize) // degenerate-bucket cap
+      .select(explode(embBucketPairs(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))
