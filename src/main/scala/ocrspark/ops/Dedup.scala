@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   *     row-local UDF pass — shingle sets never leave their row, so the
   *     only shuffled payload is (doc_id, sketch), never text.
   *   - Candidate generation is banding (LSH) / pigeonhole (SimHash):
-  *     a groupBy on small (band, signature) keys. Bucket join beats the
-  *     O(n²) cross join; the per-bucket self-join caps via
-  *     `MaxBucketSize` with a `log`-able overflow count rather than a
-  *     silent explosion on degenerate buckets (e.g. empty docs).
-  *   - Verification re-joins sketches (not text) on candidate pairs —
-  *     broadcast-sized in the common case after banding.
+  *     ONE groupBy on small (band, signature) keys collects each
+  *     bucket's members (bounded by `MaxBucketSize` — oversized
+  *     degenerate buckets are excluded, observable via the bucket-size
+  *     hooks) and pairs explode in place; no per-bucket self-join.
+  *   - MinHash verification re-joins sketches (not text) on candidate
+  *     pairs — broadcast-sized in the common case after banding;
+  *     simhash/embedding score inside the bucket row (their sketches
+  *     are one long / one small vector).
   */
 object Dedup {
 

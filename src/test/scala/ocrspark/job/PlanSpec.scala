@@ -97,4 +97,19 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(todo)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("LSH candidate generation has no self-join and no sort-merge join") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    // simhash/embedding pair generation is join-FREE (pairs explode
+    // inside the capped bucket aggregation); minhash keeps exactly the
+    // two sketch-rescore joins, never a sort-merge self-join of bands
+    val sim = planOf(ocrspark.ops.Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(!sim.contains("Join"), sim)
+    val mh = planOf(ocrspark.ops.Dedup.minhashPairs(docs, "doc_id", "text"))
+    assert(!mh.contains("SortMergeJoin"), mh)
+    val joins = mh.linesIterator.count(_.contains("HashJoin"))
+    assert(joins <= 2, s"expected ≤2 rescore joins, got $joins\n$mh")
+  }
 }
