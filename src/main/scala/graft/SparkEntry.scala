@@ -376,6 +376,20 @@ object SparkEntry {
         .orderBy(col("id"), col("frame_idx"))
     }),
 
+    // C1: end-to-end training-data curation — quality gate + exact
+    // dedup (keep the smallest doc_id per distinct text) in one
+    // pipeline, the composition a 100 TB curation job runs per shard.
+    // Fully SQL-expressible → DuckDB-verified.
+    "c1_curate" -> ((s, dir) => {
+      val t = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("lang"),
+          ocrspark.ops.TextOps.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      ocrspark.ops.Dedup.exactDedup(t, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Example TPC-H-style agg (driver contract smoke query).
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -499,6 +513,36 @@ object SparkEntry {
         |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0
         |          THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000 + 0.5) / 1000000.0 AS quality
         |FROM c ORDER BY doc_id""").stripMargin,
+    "c1_curate" ->
+      ("""WITH t AS (SELECT doc_id, lang, TRIM(text) AS tx, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, lang, text,
+        |  LENGTH(tx) AS n_chars,
+        |  CASE WHEN LENGTH(tx) = 0 THEN 0
+        |       ELSE LENGTH(regexp_split_to_array(tx, '\s+')) END AS n_tokens,
+        |  LENGTH(tx) - LENGTH(regexp_replace(tx, '[\.,;:!\?\|#"'']', '', 'g')) AS punct,
+        |  LENGTH(regexp_extract_all(tx,
+        |    '(?i)\b(""" + ocrspark.ops.TextOps.Stopwords.mkString("|") + """)\b', 0)) AS stops
+        |FROM t),
+        |c AS (SELECT doc_id, lang, text, n_chars, n_tokens,
+        |  FLOOR(punct * 1.0 / GREATEST(1, n_chars) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
+        |  FLOOR(stops * 1.0 / GREATEST(1, n_tokens) * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
+        |  FLOOR(n_chars * 1.0 / GREATEST(1, n_tokens) * 1000000 + 0.5) / 1000000.0 AS mean_token_len
+        |FROM b),
+        |q AS (SELECT doc_id, lang, text,
+        |  FLOOR((
+        |    LEAST(n_chars / 400.0, 1.0) * 0.3 +
+        |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0
+        |          ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END) * 0.2 +
+        |    LEAST(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0
+        |          THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000 + 0.5) / 1000000.0 AS quality
+        |FROM c)
+        |SELECT doc_id, lang, quality FROM (
+        |  SELECT doc_id, lang, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality >= 0.5) WHERE rn = 1
+        |ORDER BY doc_id""").stripMargin,
     "s2_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
