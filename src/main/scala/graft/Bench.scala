@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * i.e. the 100 TB-scale hot path reading columnar storage; synthesis
   * cost is reported separately as `synth_pages` and excluded from
   * throughput.
+  *
+  * Methodology (uniform since round 2): every timed query gets one full
+  * warm-up pass (C2 JIT of the kernels, plan/codegen cache) and a GC
+  * before its single timed pass — steady-state numbers, which is what
+  * matters on a long-running cluster.
   */
 object Bench {
 
@@ -81,18 +86,25 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.cache().count()
 
-    val (statsSec, _) = timed {
+    // uniform methodology for the remaining queries: one warm-up pass
+    // (JIT + plan cache), GC, then the timed pass — same protocol the
+    // extraction headline uses above.
+    def warmTimed(name: String)(f: => Long): Unit = {
+      f; System.gc()
+      val (s, _) = timed(f)
+      results += (name -> s)
+    }
+
+    warmTimed("t1_text_stats") {
       SparkEntry.queries("t1_text_stats")(spark, sfDir).count()
     }
-    results += ("t1_text_stats" -> statsSec)
 
-    val (dedupSec, _) = timed {
+    warmTimed("d2_minhash_pairs") {
       ocrspark.ops.Dedup.minhashPairs(
         ocrspark.ops.DedupCorpus.withPlantedDups(
           docs.select(col("doc_id"), col("text"), col("lang"))),
         "doc_id", "text", 0.7).count()
     }
-    results += ("d2_minhash_pairs" -> dedupSec)
 
     if (sys.env.contains("SPARK_GRAFT_D2_BREAKDOWN")) {
       val corpus = ocrspark.ops.DedupCorpus.withPlantedDups(
@@ -112,14 +124,12 @@ object Bench {
         f"[d2] corpus=$a%.2fs ($na docs) sketch=$b%.2fs full=$c%.2fs ($nc pairs) persist=$d%.2fs cand=$e%.2fs")
     }
 
-    val (annSec, _) = timed {
+    warmTimed("s2_cosine_topk") {
       SparkEntry.queries("s2_cosine_topk")(spark, sfDir).count()
     }
-    results += ("s2_cosine_topk" -> annSec)
 
     Seq("q1_agg", "j1_join_agg", "a1_gated_avg", "w1_first_k").foreach { q =>
-      val (s, _) = timed { SparkEntry.queries(q)(spark, sfDir).count() }
-      results += (q -> s)
+      warmTimed(q) { SparkEntry.queries(q)(spark, sfDir).count() }
     }
 
     val docsPerSec = if (extractSec > 0) nDocs / extractSec else 0.0
