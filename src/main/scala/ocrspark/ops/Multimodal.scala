@@ -37,6 +37,10 @@ object Multimodal {
     val kind =
       if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "image/png"
       else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "image/jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') "image/gif"
+      else if (bytes.length >= 4 && ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == '*') ||
+        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0))) "image/tiff"
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') "audio/wav"
       else if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P') "application/pdf"
       else "application/octet-stream"
