@@ -367,9 +367,10 @@ object SparkEntry {
       val pages = ocrspark.job.Synth.pagesDF(s, dir)
         .select(xxhash64(col("url")).as("id"), col("html"))
       val meta = ocrspark.ops.Multimodal.withMediaMetadata(pages, "id", "html")
+      // metadata rides through the frame explode — one decode pass,
+      // no self-join back to the media table
       ocrspark.ops.Multimodal.resizePlan(
-          ocrspark.ops.Multimodal.sampleFrames(meta, "id", everyN = 4)
-            .join(meta.select(col("id"), col("width"), col("height")), Seq("id")),
+          ocrspark.ops.Multimodal.sampleFrames(meta, "id", everyN = 4),
           maxSide = 224)
         .select(col("id"), col("frame_idx"), col("frame_key"),
           col("scale"), col("out_w"), col("out_h"))

@@ -72,9 +72,11 @@ object Multimodal {
 
   /** Frame-sampling plumbing: one output row per sampled frame index
     * (stride `everyN`) — the decode of actual pixels is the stubbed
-    * part; the explode/schema/partition behavior is real. */
+    * part; the explode/schema/partition behavior is real. All input
+    * metadata columns ride along so downstream stages (resize planning)
+    * never re-join — and therefore never re-decode — the media table. */
   def sampleFrames(meta: DataFrame, idCol: String, everyN: Int): DataFrame =
-    meta.select(col(idCol), col("n_frames"),
+    meta.select(col("*"),
       explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
         lit(everyN))).as("frame_idx"))
       .withColumn("frame_key",
