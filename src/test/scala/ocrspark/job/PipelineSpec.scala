@@ -89,6 +89,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("force_ocr column plumbs through the batch job") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // text-routed PDFs (kind 8-15, non-corrupt): forced → OCR-shaped
+    val pdfs = Synth.pagesDF(spark, sfDir)
+      .filter($"url".endsWith(".pdf"))
+    val normal = ExtractJob.run(pdfs)
+    val forced = ExtractJob.run(pdfs.withColumn("force_ocr", lit(true)))
+    val normalText = normal.filter($"method" === Extract.MethodText).count()
+    assert(normalText > 0, "corpus should contain text-routed PDFs")
+    assert(forced.filter($"method" === Extract.MethodText).count() == 0L)
+    // every successfully parsed forced doc reports the forced route
+    assert(forced.filter($"error".isNull && $"route" =!= "ocr").count() == 0L)
+  }
+
   test("legal docs carry extracted fields at scale") {
     import spark.implicits._
     // every 5th doc got a legal header; text/upstream/html paths must
