@@ -416,6 +416,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // SET3: intersect — users seen in BOTH the purchase cohort and the
+    // high-value cohort — DuckDB-verified.
+    "set3_intersect" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(e.filter(col("value") > 90.0).select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
     // SET1: anti-join (customers with no orders) — the resume anti-join
     // shape on driver tables, DuckDB-verified.
     "set1_anti_join" -> ((s, dir) => {
@@ -572,6 +581,11 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
         |  UNION ALL
         |  SELECT user_id FROM events WHERE value > 90.0)
+        |ORDER BY user_id""".stripMargin,
+    "set3_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE value > 90.0
         |ORDER BY user_id""".stripMargin,
     "set1_anti_join" ->
       """SELECT c_custkey FROM customer
