@@ -53,7 +53,10 @@ object SparkEntry {
     "f8_markdown_report" -> ((s, dir) => {
       val pages = ocrspark.job.Synth.pagesDF(s, dir)
       pages
-        .withColumn("size_bytes", octet_length(col("html")).cast("long"))
+        // upstream-text rows carry html=null but still get a report —
+        // size 0, like the reference reporting on a 0-byte temp file
+        .withColumn("size_bytes",
+          coalesce(octet_length(col("html")).cast("long"), lit(0L)))
         .withColumn("r", ocrspark.job.ExtractJob.extractUdf(
           col("html"), col("text"), col("lang"), lit(false)))
         .select(col("url"), ocrspark.text.Report.markdownUdf(
@@ -73,7 +76,7 @@ object SparkEntry {
     // the key likewise).
     "f9_json_metadata" -> ((s, dir) => {
       ocrspark.job.Synth.pagesDF(s, dir)
-        .withColumn("size_bytes", octet_length(col("html")))
+        .withColumn("size_bytes", coalesce(octet_length(col("html")), lit(0)))
         .withColumn("r", ocrspark.job.ExtractJob.extractUdf(
           col("html"), col("text"), col("lang"), lit(false)))
         .select(col("url"), to_json(struct(
@@ -210,9 +213,21 @@ object SparkEntry {
     // O12: snapshot-commit + resume — partial run (buckets <20), then a
     // resumed full run; output is the final lineage. Deterministic:
     // bucket provenance must show snapshot 1 for <20 and 2 for the rest.
+    // The lake dir is a DETERMINISTIC per-input path wiped on entry, so
+    // repeated invocations reuse one directory instead of leaking a
+    // fresh temp dir per run (round-2 verdict item).
     "o12_resume_lineage" -> ((s, dir) => {
-      val table = new ocrspark.lake.LakeTable(
-        java.nio.file.Files.createTempDirectory("graft_lake").toString)
+      val lakeDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_lake_resume_" + Integer.toHexString(dir.hashCode))
+      if (java.nio.file.Files.exists(lakeDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      java.nio.file.Files.createDirectories(lakeDir)
+      val table = new ocrspark.lake.LakeTable(lakeDir.toString)
       val pages = ocrspark.job.Synth.pagesDF(s, dir)
       ocrspark.job.IncrementalExtract.run(s,
         pages.filter(ocrspark.job.ExtractJob.bucketCol(64) < 20), table)

@@ -82,8 +82,11 @@ object ScalingBench {
     // pessimistically mismodels a real cluster, where executors pull
     // tasks dynamically from the driver. Balancing by byte size is the
     // closest static analog of that scheduler.
+    // sort by (-size, name): listFiles() order is unspecified, so equal
+    // sizes need the name tiebreak for run-to-run deterministic shards
     val allFiles = new java.io.File(pagesPath).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(-_.length())
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(f => (-f.length(), f.getName))
     val shardLoads = Array.fill(nShards)(0L)
     val assignment = Array.fill(nShards)(Vector.newBuilder[String])
     allFiles.foreach { f =>

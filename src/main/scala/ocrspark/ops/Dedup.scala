@@ -206,7 +206,6 @@ object Dedup {
   def minhashSketches(df: DataFrame, idCol: String,
                                    textCol: String): DataFrame =
     df.select(col(idCol).as("id"), minhash(col(textCol)).as("mh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def minhashCandidates(withMh: DataFrame): DataFrame = {
     // band signature = hash of the band's 4 minhashes
@@ -225,18 +224,39 @@ object Dedup {
       .distinct()
   }
 
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.7): DataFrame = {
-    // sketches are scanned twice (banding + rescoring): persist so text
-    // is shingled/minhashed ONCE. (At lake scale the same thing is done
-    // by materializing the sketch table to storage first.)
-    val withMh = minhashSketches(df, idCol, textCol)
+  /** Rescore candidate pairs against a given sketch table: two hash
+    * joins carrying (id, 64-long sketch) for candidates only. */
+  def minhashPairsFromSketches(withMh: DataFrame,
+                               threshold: Double): DataFrame =
     minhashCandidates(withMh)
       .join(withMh.select(col("id").as("id_a"), col("mh").as("mh_a")), Seq("id_a"))
       .join(withMh.select(col("id").as("id_b"), col("mh").as("mh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("mh_a"), col("mh_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+
+  /** Lazy plan: the sketch subtree appears three times (banding + two
+    * rescore joins), so each downstream scan re-shingles the text. Fine
+    * for one materialization of a small slice; for repeated actions or
+    * big corpora use [[minhashPairsCompute]] (caches the sketches for
+    * the action, then unpersists) or materialize [[minhashSketches]] to
+    * storage first and call [[minhashPairsFromSketches]] — the lake-
+    * scale shape. No persist happens here, so nothing leaks into the
+    * session's storage memory (round-2 verdict item). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7): DataFrame =
+    minhashPairsFromSketches(minhashSketches(df, idCol, textCol), threshold)
+
+  /** Loan pattern for one-shot jobs: persist the sketches, run `use`
+    * (which must consume the pairs DataFrame), unpersist — the cache
+    * cannot outlive the call. */
+  def minhashPairsCompute[T](df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.7)(
+      use: DataFrame => T): T = {
+    val withMh = minhashSketches(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(minhashPairsFromSketches(withMh, threshold))
+    finally withMh.unpersist(blocking = true)
   }
 
   // ------------------------------------------------------------------
@@ -361,14 +381,8 @@ object Dedup {
     }
   })
 
-  /** Exact n-gram Jaccard over MinHash-LSH candidates: LSH prunes the
-    * O(n²) space; the exact measure then re-scores survivors. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        candidateThreshold: Double = 0.5,
-                        threshold: Double = 0.6): DataFrame = {
-    val cands = minhashPairs(df, idCol, textCol, candidateThreshold)
-    val sets = df.select(col(idCol).as("id"), ngramSet(col(textCol)).as("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def ngramRescore(cands: DataFrame, sets: DataFrame,
+                           threshold: Double): DataFrame =
     cands
       .join(sets.withColumnRenamed("id", "id_a")
         .withColumnRenamed("ng", "ng_a"), Seq("id_a"))
@@ -377,6 +391,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccardUdf(col("ng_a"), col("ng_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Exact n-gram Jaccard over MinHash-LSH candidates: LSH prunes the
+    * O(n²) space; the exact measure then re-scores survivors. Lazy, no
+    * persist (see [[minhashPairs]]); one-shot jobs use
+    * [[ngramJaccardPairsCompute]]. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        candidateThreshold: Double = 0.5,
+                        threshold: Double = 0.6): DataFrame = {
+    val cands = minhashPairs(df, idCol, textCol, candidateThreshold)
+    val sets = df.select(col(idCol).as("id"), ngramSet(col(textCol)).as("ng"))
+    ngramRescore(cands, sets, threshold)
+  }
+
+  /** Loan pattern: persist sketches + n-gram sets for the action, then
+    * unpersist both — nothing outlives the call. */
+  def ngramJaccardPairsCompute[T](df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  candidateThreshold: Double = 0.5,
+                                  threshold: Double = 0.6)(
+      use: DataFrame => T): T = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val withMh = minhashSketches(df, idCol, textCol).persist(lvl)
+    val sets = df.select(col(idCol).as("id"), ngramSet(col(textCol)).as("ng"))
+      .persist(lvl)
+    try use(ngramRescore(
+      minhashPairsFromSketches(withMh, candidateThreshold), sets, threshold))
+    finally {
+      withMh.unpersist(blocking = true)
+      sets.unpersist(blocking = true)
+    }
   }
 
   // ------------------------------------------------------------------

@@ -159,10 +159,16 @@ object StreamExtract {
   def dedupStream(docs: Dataset[DocEvent]): Dataset[DocEvent] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.groupByKey(d => java.security.MessageDigest.getInstance("MD5")
-        .digest(if (d.text == null) Array.emptyByteArray
+    docs.groupByKey { d =>
+        // null-marker prefix byte: a null-text doc must NOT collide
+        // with an empty-string doc (batch md5(cast binary) keeps null
+        // and "" as distinct groups; streaming matches that)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(if (d.text == null) 0.toByte else 1.toByte)
+        md.digest(if (d.text == null) Array.emptyByteArray
           else d.text.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString)
+          .map("%02x".format(_)).mkString
+      }
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout())(dedupFirstSeen)
   }

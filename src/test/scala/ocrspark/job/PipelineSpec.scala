@@ -132,4 +132,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.getAs[Long]("successful") + m.getAs[Long]("failed") == 500L)
     assert(m.getAs[Long]("failed") == extracted.filter($"error".isNotNull).count())
   }
+
+  test("report UDF survives a null-html row (size coalesces to 0, report non-null)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (html=null, text non-null) is a shape extractDocument explicitly
+    // supports; the f8/f9 size expression must coalesce octet_length's
+    // null to 0 instead of nulling out the entire report row
+    val row = Seq((
+      "http://example.pe/doc/upstream.pdf",
+      new java.sql.Timestamp(1700000000000L),
+      null.asInstanceOf[Array[Byte]],
+      "MINISTERIO PÚBLICO texto previo suficiente para el reporte.",
+      "es")).toDF("url", "warc_ts", "html", "text", "lang")
+    val out = row
+      .withColumn("size_bytes",
+        coalesce(octet_length($"html").cast("long"), lit(0L)))
+      .withColumn("r", ExtractJob.extractUdf($"html", $"text", $"lang", lit(false)))
+      .select(ocrspark.text.Report.markdownUdf(
+        $"url", $"warc_ts", $"lang", $"size_bytes",
+        $"r.method", $"r.pages", $"r.confidence",
+        $"r.text", $"r.fields").as("report")).collect()(0)
+    assert(out.getAs[String]("report") != null)
+    assert(out.getAs[String]("report").contains("- **Tamaño**: 0.0MB"))
+    // and the driver-facing f8/f9 queries emit a report for EVERY row
+    val f8 = graft.SparkEntry.queries("f8_markdown_report")(spark, sfDir)
+    assert(f8.filter($"report".isNull).count() == 0)
+    val f9 = graft.SparkEntry.queries("f9_json_metadata")(spark, sfDir)
+    assert(f9.filter($"metadata_json".isNull).count() == 0)
+  }
 }

@@ -291,4 +291,15 @@ class OpsSpec extends AnyFunSuite {
     val r1 = plan.filter($"id" === 1L).collect()(0)
     assert(r1.getAs[Int]("out_w") == 400) // no upscale
   }
+
+  test("loan-pattern dedup computes leave no persisted tables behind") {
+    corpus.count() // materialize the fixture caches first
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n1 = Dedup.minhashPairsCompute(corpus, "doc_id", "text", 0.7)(_.count())
+    val n2 = Dedup.ngramJaccardPairsCompute(corpus, "doc_id", "text")(_.count())
+    assert(n1 > 0 && n2 > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"sketch caches leaked: $before persistent RDDs before, $after after")
+  }
 }

@@ -138,6 +138,30 @@ class StreamSpec extends AnyFunSuite {
       s"got ${out2.toSeq}")
   }
 
+  test("streaming dedup keeps null-text and empty-text as distinct groups (batch parity)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedupn_docs").toString
+    val ckpt = Files.createTempDirectory("dedupn_ckpt").toString
+    val sink = Files.createTempDirectory("dedupn_sink").toString
+    Seq(StreamExtract.DocEvent(1, null),
+      StreamExtract.DocEvent(2, ""),
+      StreamExtract.DocEvent(3, null))
+      .toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamExtract.DocEvent]].schema)
+      .parquet(dir).as[StreamExtract.DocEvent]
+    val q = StreamExtract.dedupStream(stream).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(sink).as[StreamExtract.DocEvent]
+      .collect().sortBy(_.doc_id)
+    // batch exactDedup groups all nulls together (null md5 key) and ""
+    // separately (md5 of empty bytes): 2 survivors, keepers 1 and 2
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L), s"got ${out.toSeq}")
+  }
+
   /** Minimal GroupState stub for direct unit-testing of the state fn. */
   class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
