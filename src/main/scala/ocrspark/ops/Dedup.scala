@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   *     only shuffled payload is (doc_id, sketch), never text.
   *   - Candidate generation is banding (LSH) / pigeonhole (SimHash):
   *     ONE groupBy on small (band, signature) keys collects each
-  *     bucket's members (bounded by `MaxBucketSize` — oversized
-  *     degenerate buckets are excluded, observable via the bucket-size
-  *     hooks) and pairs explode in place; no per-bucket self-join.
+  *     bucket's members through a BOUNDED aggregate (at most
+  *     `MaxBucketSize` members ever materialize, even map-side) and
+  *     pairs explode in place; no per-bucket self-join. Over-cap
+  *     buckets degrade to a linear member→keeper star instead of being
+  *     dropped — giant duplicate clusters stay fully linked.
   *   - MinHash verification re-joins sketches (not text) on candidate
   *     pairs — broadcast-sized in the common case after banding;
   *     simhash/embedding score inside the bucket row (their sketches
@@ -170,12 +172,16 @@ object Dedup {
   }
   val estJaccard = udf(estJaccardImpl _)
 
-  /** Degenerate-bucket cap: a (band, signature) bucket larger than this
-    * is excluded from pair generation — an oversized bucket means the
-    * signature carries no discriminating information (near-empty docs,
-    * boilerplate collisions) and its self-join is quadratic. Capped
-    * buckets are observable via [[bucketSizes]] rather than silently
-    * truncating pair QUALITY: every surviving pair is still exact. */
+  /** All-pairs cap: a (band, signature) bucket larger than this does
+    * NOT get quadratic all-pairs generation — at 10^12 docs genuine
+    * duplicate clusters (boilerplate pages, mirrored sites) routinely
+    * exceed any fixed cap, and those are exactly the docs most worth
+    * deduping. Over-cap buckets fall back to a LINEAR member→keeper
+    * star (keeper = the bucket's min id): every member still pairs with
+    * the keeper, preserving dedup semantics (dedup keeps one keeper per
+    * cluster; the star is precisely the keeper's edge set) at O(n) pairs
+    * instead of O(n²). Bucket-size distributions stay observable via
+    * [[bucketSizes]] / [[embeddingBucketSizes]]. */
   val MaxBucketSize = 64
 
   /** All i<j pairs of a (sorted, cap-bounded) bucket member list —
@@ -207,21 +213,40 @@ object Dedup {
                                    textCol: String): DataFrame =
     df.select(col(idCol).as("id"), minhash(col(textCol)).as("mh"))
 
-  def minhashCandidates(withMh: DataFrame): DataFrame = {
-    // band signature = hash of the band's 4 minhashes
-    val bands = withMh.select(col("id"),
+  /** Band rows (id, band, sig) for a sketch table — band signature =
+    * hash of the band's 4 minhashes. */
+  private def minhashBands(withMh: DataFrame): DataFrame =
+    withMh.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
         s"b -> hash(b, slice(mh, b * $BandSize + 1, $BandSize)))"))
         .as(Seq("band", "sig")))
-    // distinct: a pair can collide in up to NumBands buckets; score each
-    // unique candidate once
-    bands.groupBy(col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")) >= 2 &&
-        size(col("members")) <= MaxBucketSize) // degenerate-bucket cap
+
+  def minhashCandidates(withMh: DataFrame): DataFrame = {
+    val bands = minhashBands(withMh)
+    // bounded map-side-combining aggregate: a degenerate bucket never
+    // materializes more than MaxBucketSize members anywhere (the old
+    // collect_list collected the whole bucket before filtering — an
+    // OOM at 10^12-doc scale); `n` is the bucket's true population
+    val grouped = bands.groupBy(col("band"), col("sig"))
+      .agg(BoundedCollect.boundedIds(MaxBucketSize)(col("id")).as("members"),
+        count(lit(1)).as("n"))
+    // in-cap buckets: exact all-pairs, exploded in place (no self-join)
+    val smallPairs = grouped
+      .filter(col("n") >= 2 && col("n") <= MaxBucketSize)
       .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
+    // over-cap buckets: member→keeper star. keeper = min id, which
+    // always survives the bounded trim; the keeper set is tiny (only
+    // degenerate buckets) → broadcast back onto the band rows
+    val bigKeepers = grouped.filter(col("n") > MaxBucketSize)
+      .select(col("band"), col("sig"),
+        element_at(col("members"), 1).as("keeper"))
+    val bigPairs = bands.join(broadcast(bigKeepers), Seq("band", "sig"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"))
+    // distinct: a pair can collide in up to NumBands buckets; score each
+    // unique candidate once
+    smallPairs.unionAll(bigPairs).distinct()
   }
 
   /** Rescore candidate pairs against a given sketch table: two hash
@@ -344,13 +369,30 @@ object Dedup {
         posexplode(expr(
           "transform(sequence(0, 3), b -> (shiftright(sh, b * 16) & 65535))"))
           .as(Seq("block", "sig")))
-    blocks.groupBy(col("block"), col("sig"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")) >= 2 &&
-        size(col("members")) <= MaxBucketSize)
+    // bounded map-side-combining aggregate (see minhashCandidates):
+    // a hot (block, sig) key never materializes more than MaxBucketSize
+    // (id, sketch) members anywhere in the plan
+    val grouped = blocks.groupBy(col("block"), col("sig"))
+      .agg(BoundedCollect.boundedIdSh(MaxBucketSize)(col("id"), col("sh"))
+          .as("members"),
+        count(lit(1)).as("n"))
+    val smallPairs = grouped
+      .filter(col("n") >= 2 && col("n") <= MaxBucketSize)
       .select(explode(simhashBucketPairs(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         col("p._3").as("hamming"))
+    // over-cap buckets: member→keeper star (keeper = min id, which
+    // always survives the bounded trim); hamming scored against the
+    // keeper's sketch riding along in the broadcast
+    val bigKeepers = grouped.filter(col("n") > MaxBucketSize)
+      .select(col("block"), col("sig"),
+        element_at(col("members"), 1).getField("id").as("keeper"),
+        element_at(col("members"), 1).getField("sh").as("keeper_sh"))
+    val bigPairs = blocks.join(broadcast(bigKeepers), Seq("block", "sig"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        hammingUdf(col("keeper_sh"), col("sh")).as("hamming"))
+    smallPairs.unionAll(bigPairs)
       .filter(col("hamming") <= maxDist)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
@@ -429,10 +471,10 @@ object Dedup {
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * via sign-LSH buckets (see [[Similarity.hyperplaneBucket]]).
-    * Degenerate buckets (zero vectors, tightly clustered embeddings)
-    * are excluded by the same [[MaxBucketSize]] cap as the text LSH
-    * paths — observable via [[embeddingBucketSizes]] — so the per-bucket
-    * self-join can never go quadratic at scale. */
+    * Buckets over [[MaxBucketSize]] fall back to the linear
+    * member→keeper star (same as the text LSH paths) — observable via
+    * [[embeddingBucketSizes]] — so pair generation never goes quadratic
+    * and giant duplicate clusters are still fully linked. */
   /** All i<j pairs of a bucket's (id, vector) members with cosine,
     * scored inside the aggregation row (bucket size is cap-bounded, so
     * the group carries ≤ MaxBucketSize vectors). */
@@ -455,17 +497,48 @@ object Dedup {
       out.result()
     })
 
+  /** Plane count sized to the corpus: expected bucket population is
+    * N / 2^planes, so planes ≈ log2(N / targetBucket) keeps buckets
+    * near `targetBucket` as the corpus grows — at 10^12 docs with
+    * targetBucket 32 this is ~35 planes, vs the old fixed 16 whose
+    * buckets would hold ~15M vectors each. Floor of 16 preserves the
+    * round-1/2 behavior on small corpora. */
+  def adaptivePlanes(corpusSize: Long, targetBucket: Int = 32): Int =
+    math.max(Similarity.NumPlanes,
+      math.ceil(math.log(math.max(1L, corpusSize).toDouble / targetBucket) /
+        math.log(2.0)).toInt)
+
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95): DataFrame = {
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
-      .filter(size(col("members")) >= 2 &&
-        size(col("members")) <= MaxBucketSize) // degenerate-bucket cap
+                        threshold: Double = 0.95,
+                        planes: Int = Similarity.NumPlanes): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    // bounded map-side-combining aggregate: genuinely clustered
+    // embeddings (or zero vectors) can pile any number of members on
+    // one bucket — never materialize more than MaxBucketSize vectors
+    val grouped = bucketed.groupBy(col("bucket"))
+      .agg(BoundedCollect.boundedIdVec(MaxBucketSize)(col("id"), col("v"))
+          .as("members"),
+        count(lit(1)).as("n"))
+    val smallPairs = grouped
+      .filter(col("n") >= 2 && col("n") <= MaxBucketSize)
       .select(explode(embBucketPairs(col("members"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         col("p._3").as("cosine"))
+    // over-cap buckets: member→keeper star, cosine scored against the
+    // keeper's vector carried in the broadcast — O(n) pairs, and the
+    // docs a giant cluster holds (the ones most worth deduping) still
+    // all link to the cluster keeper
+    val bigKeepers = grouped.filter(col("n") > MaxBucketSize)
+      .select(col("bucket"),
+        element_at(col("members"), 1).getField("id").as("keeper"),
+        element_at(col("members"), 1).getField("v").as("keeper_v"))
+    val bigPairs = bucketed.join(broadcast(bigKeepers), Seq("bucket"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        round(Similarity.cosineUdf(col("keeper_v"), col("v")), 6)
+          .as("cosine"))
+    smallPairs.unionAll(bigPairs)
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))

@@ -102,14 +102,22 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text")
-    // simhash/embedding pair generation is join-FREE (pairs explode
-    // inside the capped bucket aggregation); minhash keeps exactly the
-    // two sketch-rescore joins, never a sort-merge self-join of bands
+    // in-cap pairs explode inside the bounded bucket aggregation (no
+    // self-join); the only joins allowed are (a) minhash's two
+    // sketch-rescore hash joins and (b) the over-cap keeper-star join,
+    // which must be a BROADCAST of the (tiny) keeper set — never a
+    // sort-merge self-join of band rows
     val sim = planOf(ocrspark.ops.Dedup.simhashPairs(docs, "doc_id", "text"))
-    assert(!sim.contains("Join"), sim)
+    assert(!sim.contains("SortMergeJoin"), sim)
+    val simJoins = sim.linesIterator.count(_.contains("Join"))
+    val simBcast = sim.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(simJoins == simBcast && simJoins <= 1,
+      s"simhash may only have the broadcast keeper-star join\n$sim")
     val mh = planOf(ocrspark.ops.Dedup.minhashPairs(docs, "doc_id", "text"))
     assert(!mh.contains("SortMergeJoin"), mh)
     val joins = mh.linesIterator.count(_.contains("HashJoin"))
-    assert(joins <= 2, s"expected ≤2 rescore joins, got $joins\n$mh")
+    assert(joins <= 3, s"expected ≤2 rescore + 1 keeper-star joins, got $joins\n$mh")
+    assert(mh.linesIterator.exists(_.contains("BroadcastHashJoin")),
+      s"keeper-star join must broadcast the keeper set\n$mh")
   }
 }

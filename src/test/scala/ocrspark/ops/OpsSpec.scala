@@ -201,19 +201,54 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
-  test("embedding near-dups: degenerate bucket is capped, never quadratic") {
+  test("embedding near-dups: over-cap bucket degrades to keeper star, never quadratic") {
     import spark.implicits._
     // 1000 identical vectors land in ONE sign-LSH bucket; uncapped this
-    // self-join is 499500 pairs. The MaxBucketSize cap must exclude the
-    // bucket entirely (and the size must be observable).
+    // self-join is 499500 pairs. The over-cap fallback must emit exactly
+    // the linear member→keeper star (999 pairs, keeper = min id), and
+    // the bucket size must stay observable.
     val v = Array.fill(32)(0.5f)
     val degen = spark.createDataset((0L until 1000L).map(i => (i, v)))
       .toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDups(degen, "vec_id", "embedding", 0.9).count()
-    assert(pairs == 0L, s"degenerate bucket not capped: $pairs pairs")
+    val pairs = Dedup.embeddingNearDups(degen, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L), "keeper must be the min id")
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+    assert(pairs.forall(_._3 == 1.0))
     val sizes = Dedup.embeddingBucketSizes(degen, "vec_id", "embedding")
       .filter($"bn" > Dedup.MaxBucketSize).as[(Int, Long)].collect()
     assert(sizes.nonEmpty && sizes.head._2 == 1000L)
+  }
+
+  test("minhash-LSH: 500-member duplicate cluster all pairs to its keeper") {
+    import spark.implicits._
+    // A giant genuine-duplicate cluster (boilerplate page mirrored 500×)
+    // exceeds MaxBucketSize in every band bucket. Dropping it would skip
+    // exactly the docs most worth deduping; the star fallback must link
+    // every member to the keeper (min id) with est_jaccard 1.0.
+    val text = "identical boilerplate page body shared across mirrors " * 20
+    val cluster = spark.createDataset((0L until 500L).map(i => (i, text)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(cluster, "doc_id", "text", 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(_._1 == 0L), "keeper must be the min id")
+    assert(pairs.map(_._2).toSet == (1L until 500L).toSet,
+      s"star must cover every member; got ${pairs.length} pairs")
+    assert(pairs.forall(_._3 == 1.0))
+  }
+
+  test("simhash: 500-member duplicate cluster all pairs to its keeper at hamming 0") {
+    import spark.implicits._
+    val text = "identical boilerplate page body shared across mirrors " * 20
+    val cluster = spark.createDataset((0L until 500L).map(i => (i, text)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(cluster, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._1 == 0L), "keeper must be the min id")
+    assert(pairs.map(_._2).toSet == (1L until 500L).toSet,
+      s"star must cover every member; got ${pairs.length} pairs")
+    assert(pairs.forall(_._3 == 0))
   }
 
   // ---------------- text ops ----------------
