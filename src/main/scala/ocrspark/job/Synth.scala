@@ -177,15 +177,40 @@ object Synth {
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Image payload: deterministic fake PNG/JPEG — correct magic bytes
-    * (so the engine's sniffing routes it), SplitMix64 filler body. The
-    * reference accepts png/jpg uploads (ALLOWED_EXTENSIONS, app.py:60)
-    * and sends them down the OCR path. */
+  /** Deterministic image dimensions for [[imageFor]] payloads — simple
+    * closed form so tests can hand-compute them. */
+  def imageDims(docId: Long): (Int, Int) =
+    (320 + ((docId / 20) % 8).toInt * 80, 240 + ((docId / 40) % 6).toInt * 60)
+
+  /** Image payload: deterministic fake PNG/JPEG with REAL headers —
+    * correct magic bytes (so the engine's sniffing routes it) plus a
+    * well-formed PNG IHDR chunk / JPEG APP0+SOF0 segment chain carrying
+    * [[imageDims]], so header-level metadata extraction reads true
+    * dimensions; body is SplitMix64 filler (pixels are never decoded —
+    * no codecs in sandbox). The reference accepts png/jpg uploads
+    * (ALLOWED_EXTENSIONS, app.py:60) and sends them down the OCR path. */
   def imageFor(docId: Long): Array[Byte] = {
     val png = (docId / 20) % 2 == 0
+    val (w, h) = imageDims(docId)
     val header: Array[Byte] =
-      if (png) Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
-      else Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+      if (png)
+        // signature + IHDR: len=13, tag, w/h BE32, bit depth 8,
+        // truecolor, deflate, adaptive filter, no interlace, CRC
+        // (unchecked placeholder)
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+          0, 0, 0, 13, 'I', 'H', 'D', 'R',
+          (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+          (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+          8, 2, 0, 0, 0, 0, 0, 0, 0)
+      else
+        // SOI + APP0 (JFIF, len 16) + SOF0 (len 17: precision 8,
+        // height/width BE16, 3 components à 3 bytes)
+        Array[Byte](0xFF.toByte, 0xD8.toByte,
+          0xFF.toByte, 0xE0.toByte, 0, 16, 'J', 'F', 'I', 'F', 0,
+          1, 1, 0, 0, 1, 0, 1, 0, 0,
+          0xFF.toByte, 0xC0.toByte, 0, 17, 8,
+          (h >>> 8).toByte, h.toByte, (w >>> 8).toByte, w.toByte, 3,
+          1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
     val n = 512 + (unit(docId, 7) * 4096).toInt
     val out = new Array[Byte](header.length + n)
     System.arraycopy(header, 0, out, 0, header.length)

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction / resize / frame-sampling are partition-batched transforms.
   *
-  * The actual codecs are NOT available in this sandbox (no image/audio
-  * libraries), so the decode kernel is a clearly marked DETERMINISTIC
-  * STUB ([[decodeStub]]) — it fabricates plausible metadata from the
-  * byte stream. Everything around it is real Spark plumbing: schema,
-  * batch iteration shape (mapPartitions ≈ mapInPandas batches),
-  * partitioning, and the explode for frame sampling — swap
-  * [[decodeStub]] for a real decoder and the pipeline is production
-  * shaped.
+  * Metadata extraction is REAL for every format whose header is
+  * parseable in pure JDK: PNG (IHDR), GIF (logical screen descriptor),
+  * BMP (info/core header), JPEG (SOF segment scan), and PDF (page count
+  * via the engine's own parser). Full pixel/sample decode needs codecs
+  * that are NOT in this sandbox, so only audio/video metadata beyond
+  * the container sniff remains a clearly marked DETERMINISTIC STUB
+  * ([[avStub]]). The Spark plumbing — schema, batch iteration shape
+  * (mapPartitions ≈ mapInPandas batches), partitioning, the explode for
+  * frame sampling — is production shaped throughout.
   */
 object Multimodal {
 
@@ -23,10 +24,81 @@ object Multimodal {
                        n_frames: Int, duration_ms: Long, size_bytes: Long,
                        content_hash: Long)
 
-  /** ======= STUB (no codecs in sandbox) =======
-    * Deterministic fake decode: kind from magic-byte sniffing, the rest
-    * derived from a stable byte hash. Replace with a real decoder
-    * (JavaCV/ImageIO/ffmpeg) outside this sandbox. */
+  // ---- byte readers (bounds-checked by callers) ----
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  @inline private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  @inline private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  @inline private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** PNG IHDR: width/height are the two big-endian u32s right after the
+    * 8-byte signature + 4-byte length + "IHDR" tag (bytes 16-23). */
+  private[ops] def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' &&
+        b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16).toInt, be32(b, 20).toInt))
+    else None
+
+  /** GIF logical screen descriptor: little-endian u16 pair at bytes 6-9. */
+  private[ops] def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10) Some((le16(b, 6), le16(b, 8))) else None
+
+  /** BMP: 14-byte file header, then BITMAPINFOHEADER (size ≥ 40: s32le
+    * width at 18, s32le height at 22 — negative height = top-down row
+    * order, magnitude is the pixel height) or the ancient
+    * BITMAPCOREHEADER (size 12: u16le pair at 18/20). */
+  private[ops] def bmpDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26) {
+      val hdr = le32(b, 14)
+      if (hdr >= 40) Some((le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
+      else if (hdr == 12 && b.length >= 22) Some((le16(b, 18), le16(b, 20)))
+      else None
+    } else None
+
+  /** JPEG: walk the segment chain from SOI until a start-of-frame
+    * marker (SOF0-15 minus the DHT/JPG/DAC gaps); frame height/width
+    * are big-endian u16s at offsets +5/+7 into the SOF segment. Skips
+    * 0xFF fill bytes and standalone markers per the spec. */
+  private[ops] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return None // desynced: not a marker
+      var j = i
+      while (j + 1 < b.length && u8(b, j + 1) == 0xFF) j += 1 // fill bytes
+      val m = u8(b, j + 1)
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
+        i = j + 2 // standalone marker, no length field
+      } else if ((m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 &&
+        m != 0xCC) { // SOF0..15 minus DHT/JPG/DAC
+        return if (j + 8 < b.length) Some((be16(b, j + 7), be16(b, j + 5)))
+        else None
+      } else {
+        if (j + 3 >= b.length) return None
+        i = j + 2 + be16(b, j + 2)
+      }
+    }
+    None
+  }
+
+  /** ======= STUB (no audio/video codecs in sandbox) =======
+    * Deterministic fabricated frame/duration metadata for audio/video
+    * containers — replace with a real demuxer (ffmpeg/JavaCV) outside
+    * this sandbox. Still images and PDFs never come through here. */
+  private def avStub(h: Long): (Int, Long) = {
+    val frames = 1 + math.floorMod(h >> 16, 32).toInt
+    (frames, frames * 40L)
+  }
+
+  /** Decode the payload's typed metadata: container kind from magic
+    * bytes, then a REAL header parse per format (see object doc). An
+    * image whose header is truncated/corrupt reports 0×0 — honest
+    * unknown, never fabricated. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length == 0)
       return MediaMeta("empty", 0, 0, 0, 0L, 0L, 0L)
@@ -44,11 +116,29 @@ object Multimodal {
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') "audio/wav"
       else if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P') "application/pdf"
       else "application/octet-stream"
-    val w = 160 + math.floorMod(h, 8) * 80
-    val ht = 120 + math.floorMod(h >> 8, 8) * 60
-    val frames = 1 + math.floorMod(h >> 16, 32).toInt
-    MediaMeta(kind, w.toInt, ht.toInt, frames, frames * 40L,
-      bytes.length.toLong, h)
+    kind match {
+      case "image/png" | "image/jpeg" | "image/gif" | "image/bmp" =>
+        val dims = kind match {
+          case "image/png"  => pngDims(bytes)
+          case "image/jpeg" => jpegDims(bytes)
+          case "image/gif"  => gifDims(bytes)
+          case _            => bmpDims(bytes)
+        }
+        val (w, ht) = dims.getOrElse((0, 0))
+        MediaMeta(kind, w, ht, 1, 0L, bytes.length.toLong, h)
+      case "image/tiff" => // IFD walk needs the full directory; report unknown dims
+        MediaMeta(kind, 0, 0, 1, 0L, bytes.length.toLong, h)
+      case "application/pdf" =>
+        // page count via the engine's own parser (no text extraction)
+        val pages = ocrspark.parse.PdfExtract.parse(bytes, maxTextPages = 0)
+          .fold(_ => 0, _.pageCount)
+        MediaMeta(kind, 0, 0, pages, 0L, bytes.length.toLong, h)
+      case "audio/wav" =>
+        val (frames, dur) = avStub(h) // STUB: no codecs in sandbox
+        MediaMeta(kind, 0, 0, frames, dur, bytes.length.toLong, h)
+      case _ =>
+        MediaMeta(kind, 0, 0, 0, 0L, bytes.length.toLong, h)
+    }
   }
 
   /** Attach the metadata struct to a table with a binary column.

@@ -295,7 +295,49 @@ class OpsSpec extends AnyFunSuite {
   }
 
   // ---------------- multimodal ----------------
-  test("media metadata: deterministic stub decode with real plumbing") {
+  test("image header parses read true dimensions (PNG/JPEG/GIF/BMP)") {
+    // synth PNG (docId 40 → png branch) and JPEG (docId 20 → jpg branch)
+    // carry real IHDR / SOF0 headers; dims must match the closed form
+    val pngId = 40L
+    val (pw, ph) = ocrspark.job.Synth.imageDims(pngId)
+    val png = ocrspark.job.Synth.imageFor(pngId)
+    assert(Multimodal.pngDims(png).contains((pw, ph)))
+    val jpgId = 20L
+    val (jw, jh) = ocrspark.job.Synth.imageDims(jpgId)
+    val jpg = ocrspark.job.Synth.imageFor(jpgId)
+    assert(Multimodal.jpegDims(jpg).contains((jw, jh)))
+    // hand-built GIF89a logical screen descriptor: 640×350 little-endian
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      0x80.toByte, 0x02, 0x5E, 0x01, 0, 0, 0)
+    assert(Multimodal.gifDims(gif).contains((640, 350)))
+    // hand-built BMP: BITMAPINFOHEADER (size 40), 800×600, top-down
+    // (negative height) must report the magnitude
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40
+    bmp(18) = 0x20; bmp(19) = 0x03 // 800 LE
+    val negH = -600
+    bmp(22) = negH.toByte; bmp(23) = (negH >> 8).toByte
+    bmp(24) = (negH >> 16).toByte; bmp(25) = (negH >> 24).toByte
+    assert(Multimodal.bmpDims(bmp).contains((800, 600)))
+    // truncated headers are honest unknowns, not fabrications
+    assert(Multimodal.pngDims(png.take(12)).isEmpty)
+    assert(Multimodal.jpegDims(jpg.take(10)).isEmpty)
+    // decode surfaces the parsed dims and a single frame
+    val m = Multimodal.decodeStub(png)
+    assert(m.kind == "image/png" && m.width == pw && m.height == ph &&
+      m.n_frames == 1)
+  }
+
+  test("pdf metadata: n_frames is the true page count") {
+    val pdf = ocrspark.job.Synth.textPdfFor(8L, "contenido de prueba " * 50)
+    val pages = ocrspark.parse.PdfExtract.parse(pdf, 0)
+      .fold(_ => -1, _.pageCount)
+    assert(pages > 0)
+    val m = Multimodal.decodeStub(pdf)
+    assert(m.kind == "application/pdf" && m.n_frames == pages)
+  }
+
+  test("media metadata: real header decode with partition-batched plumbing") {
     import spark.implicits._
     val pdf = ocrspark.job.Synth.textPdfFor(8L, "contenido de prueba " * 50)
     val df = Seq((1L, pdf), (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G')),
