@@ -286,6 +286,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // D3s: the raw simhash sketches for the same corpus — dumped so the
+    // d3 oracle can re-derive the pigeonhole + keeper-star pairing
+    // independently in DuckDB (the sketch UDF itself is covered by the
+    // sbt suite; everything downstream of it gets a cross-engine check).
+    "d3s_simhash_sketches" -> ((s, dir) => {
+      dedupCorpus(s, dir)
+        .select(col("doc_id"), ocrspark.ops.Dedup.simhash(col("text")).as("sh"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D4: exact n-gram Jaccard re-scoring over LSH candidates.
     "d4_ngram_jaccard" -> ((s, dir) => {
       ocrspark.ops.Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "doc_id", "text")
@@ -364,6 +374,12 @@ object SparkEntry {
         .select(col("doc_id"),
           ocrspark.ops.TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // T4: token-frequency histogram (vocabulary building) — classic
+    // word-count with map-side combine + global top-N; DuckDB oracle.
+    "t4_token_histogram" -> ((s, dir) => {
+      ocrspark.ops.TextOps.tokenHistogram(docs(s, dir), "text", 200)
     }),
 
     // M1: multimodal metadata over the pages table's binary payloads
@@ -453,8 +469,53 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (column names MUST match the Spark
-    * result — the driver sorts columns by name and hashes values). */
+    * result — the driver sorts columns by name and hashes values).
+    * `__OUT__` is replaced by Verify with the absolute dump directory,
+    * letting an oracle re-derive a result from another query's dumped
+    * parquet (see d3_simhash_pairs). */
   def oracleSql: Map[String, String] = Map(
+    // Re-derives the full candidate-generation + scoring pipeline from
+    // the dumped sketches: 4×16-bit pigeonhole blocks, per-bucket
+    // all-pairs when the bucket is in-cap, member→keeper star when
+    // over-cap, hamming via bit_count(xor), min over colliding blocks.
+    // (sh >> k) & 65535 is shift-direction-insensitive to sign
+    // semantics because the mask keeps only the real 16 bits.
+    "d3_simhash_pairs" ->
+      """WITH sk AS (
+        |  SELECT doc_id AS id, sh
+        |  FROM read_parquet('__OUT__/d3s_simhash_sketches/*.parquet')),
+        |blocks AS (
+        |  SELECT id, sh, b.block, ((sh >> (b.block * 16)) & 65535) AS sig
+        |  FROM sk CROSS JOIN (SELECT unnest([0,1,2,3]) AS block) b),
+        |sized AS (
+        |  SELECT id, sh, block, sig,
+        |    count(*) OVER (PARTITION BY block, sig) AS n,
+        |    min(id)  OVER (PARTITION BY block, sig) AS keeper,
+        |    first_value(sh) OVER (PARTITION BY block, sig ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS keeper_sh
+        |  FROM blocks),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    bit_count(xor(a.sh, b.sh)) AS hamming
+        |  FROM sized a JOIN sized b
+        |    ON a.block = b.block AND a.sig = b.sig AND a.id < b.id
+        |  WHERE a.n BETWEEN 2 AND 64
+        |  UNION ALL
+        |  SELECT keeper AS id_a, id AS id_b,
+        |    bit_count(xor(keeper_sh, sh)) AS hamming
+        |  FROM sized WHERE n > 64 AND id <> keeper)
+        |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    "t4_token_histogram" ->
+      """SELECT token, n FROM (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(text,
+        |      '[ \t\n\x0B\f\r]+')) AS token
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE token <> '' GROUP BY token)
+        |ORDER BY n DESC, token LIMIT 200""".stripMargin,
     "p1_filter_project" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang IN ('es','en') AND n_chars > 500

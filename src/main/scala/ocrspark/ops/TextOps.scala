@@ -1,6 +1,6 @@
 package ocrspark.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -35,6 +35,25 @@ object TextOps {
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0)))
+
+  /** Whitespace class that behaves identically in Java regex (Spark)
+    * and RE2 (DuckDB): Java's \s is ASCII-only by default and RE2's \s
+    * lacks \x0B, so both sides use this explicit class. */
+  val WsClassRegex = "[ \\t\\n\\u000B\\f\\r]+"
+
+  /** Token frequency histogram — the vocabulary-building primitive of a
+    * training-data pipeline. Classic word-count shape: tokenize
+    * row-locally (explode), ONE shuffle on the token key with map-side
+    * partial aggregation, then a global top-N (each partition sorts its
+    * slice; only N rows per partition reach the driver-side merge).
+    * Deterministic tie-break on the token itself. */
+  def tokenHistogram(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), WsClassRegex)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
 
   // ------------------------------------------------------------------
   // quality scoring (length / punct / stopword / caps ratios)

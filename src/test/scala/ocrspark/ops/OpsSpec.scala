@@ -261,6 +261,13 @@ class OpsSpec extends AnyFunSuite {
     assert(bpe == Seq(3, 5, 0, 0)) // a,-,b,c,!
   }
 
+  test("token histogram: counts, empty-token filtering, deterministic top-N") {
+    import spark.implicits._
+    val df = Seq("a b a", "a\t\tc", "  ", null.asInstanceOf[String]).toDF("text")
+    val h = TextOps.tokenHistogram(df, "text", 2).as[(String, Long)].collect()
+    assert(h.toSeq == Seq(("a", 3L), ("b", 1L))) // tie b/c → lexicographic
+  }
+
   test("language id on authored snippets") {
     assert(TextOps.languageIdImpl(
       "the cat is in the house and it is warm with the fire") == "en")
