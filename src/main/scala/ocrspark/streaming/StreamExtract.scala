@@ -153,6 +153,71 @@ object StreamExtract {
     }
   }
 
+  // ---- streaming minhash near-dup -----------------------------------
+
+  case class BandPair(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  /** Per-bucket state transition for [[nearDupStream]]: the bucket's
+    * state holds up to `cap` first-seen (id, sketch) members — never
+    * text. An arriving doc is scored (est jaccard) against the held
+    * members and appended while under cap; once the bucket is over cap,
+    * arrivals score against the bucket KEEPER only (first-seen member)
+    * — the streaming analog of the batch over-cap member→keeper star,
+    * so giant duplicate clusters keep linking instead of blowing up
+    * state. Same-batch arrivals pair with each other because earlier
+    * arrivals are appended before later ones are scored. */
+  def nearDupBand(threshold: Double, cap: Int)(
+      key: (Int, Int), rows: Iterator[(Long, Seq[Long])],
+      state: GroupState[Seq[(Long, Seq[Long])]]): Iterator[BandPair] = {
+    var members = state.getOption.getOrElse(Seq.empty)
+    val out = Vector.newBuilder[BandPair]
+    rows.toSeq.sortBy(_._1).foreach { case (id, mh) =>
+      val against = if (members.size >= cap) members.take(1) else members
+      against.foreach { case (mid, mmh) =>
+        if (mid != id) {
+          val est = ocrspark.ops.Dedup.estJaccardImpl(mmh, mh)
+          if (est >= threshold)
+            out += BandPair(math.min(mid, id), math.max(mid, id), key._1, est)
+        }
+      }
+      if (members.size < cap) members = members :+ ((id, mh))
+    }
+    state.update(members)
+    out.result().iterator
+  }
+
+  /** Streaming MinHash near-dup: the batch banding pipeline
+    * ([[ocrspark.ops.Dedup.minhashPairs]]) re-expressed as per-bucket
+    * `flatMapGroupsWithState`. Sketching and band-signature derivation
+    * are the SAME expressions as batch (one row-local sketch UDF, then
+    * 16 (band, sig) keys per doc); the shuffle carries (band_sig, id,
+    * sketch) and the state store holds ≤ MaxBucketSize sketches per
+    * bucket. A pair colliding in k bands is emitted once per band (the
+    * `band` column disambiguates); consumers aggregate by (id_a, id_b)
+    * exactly as the batch path's distinct() does. */
+  def nearDupStream(docs: Dataset[DocEvent],
+                    threshold: Double = 0.7): Dataset[BandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import ocrspark.ops.Dedup
+    val bands = docs
+      .select(col("doc_id").as("id"), Dedup.minhash(col("text")).as("mh"))
+      .select(col("id"), col("mh"),
+        posexplode(expr(s"transform(sequence(0, ${Dedup.NumBands - 1}), " +
+          s"b -> hash(b, slice(mh, b * ${Dedup.BandSize} + 1, " +
+          s"${Dedup.BandSize})))"))
+          .as(Seq("band", "sig")))
+      .as[(Long, Seq[Long], Int, Int)]
+    bands.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Int), rows: Iterator[(Long, Seq[Long], Int, Int)],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          nearDupBand(threshold, Dedup.MaxBucketSize)(
+            key, rows.map(r => (r._1, r._2)), state)
+      }
+  }
+
   /** Wire the stateful dedup over a stream of documents. The group key
     * is md5(text) (content-derived, shuffle carries hash+id+text of the
     * batch only; the STATE holds just hash → keeper id). */

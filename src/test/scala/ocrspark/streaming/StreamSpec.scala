@@ -138,6 +138,58 @@ class StreamSpec extends AnyFunSuite {
       s"got ${out2.toSeq}")
   }
 
+  test("streaming near-dup catches a mutated copy arriving batches later") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ndup_docs").toString
+    val ckpt = Files.createTempDirectory("ndup_ckpt").toString
+    val sink = Files.createTempDirectory("ndup_sink").toString
+
+    def deposit(docs: Seq[StreamExtract.DocEvent]): Unit =
+      docs.toDS().write.mode("append").parquet(dir)
+    def runAvailable(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamExtract.DocEvent]].schema)
+        .parquet(dir).as[StreamExtract.DocEvent]
+      val q = StreamExtract.nearDupStream(stream, 0.7).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val base = ("los documentos administrativos del expediente se archivan " +
+      "por orden cronologico en la mesa de partes principal ") * 5
+    val unrelated = ("el clima de la sierra peruana cambia rapidamente " +
+      "durante la temporada de lluvias intensas de verano ") * 5
+    // batch 1: the original + an unrelated doc → no pairs yet
+    deposit(Seq(StreamExtract.DocEvent(10, base),
+      StreamExtract.DocEvent(20, unrelated)))
+    runAvailable()
+    val out1 = spark.read.parquet(sink).as[StreamExtract.BandPair].collect()
+    assert(out1.isEmpty, s"no near-dups expected in batch 1: ${out1.toSeq}")
+
+    // batch 2: a lightly MUTATED copy of doc 10 (word substitution) —
+    // the cross-batch band state must catch it
+    val mutated = base.replace("cronologico", "alfabetico")
+    deposit(Seq(StreamExtract.DocEvent(30, mutated)))
+    runAvailable()
+    val out2 = spark.read.parquet(sink).as[StreamExtract.BandPair].collect()
+    val pairs = out2.map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs == Set((10L, 30L)), s"got ${out2.toSeq}")
+    assert(out2.forall(_.est_jaccard >= 0.7))
+
+    // batch 3: an EXACT copy of the mutated doc joins the cluster — it
+    // must pair with the cluster (est 1.0 vs doc 30), never duplicate a
+    // previously emitted (band, pair) row
+    deposit(Seq(StreamExtract.DocEvent(40, mutated)))
+    runAvailable()
+    val out3 = spark.read.parquet(sink).as[StreamExtract.BandPair].collect()
+    val newPairs = out3.map(p => (p.id_a, p.id_b)).toSet -- pairs
+    assert(newPairs.contains((30L, 40L)), s"got ${out3.toSeq}")
+    assert(out3.filter(p => (p.id_a, p.id_b) == ((30L, 40L)))
+      .forall(_.est_jaccard == 1.0))
+  }
+
   test("streaming dedup keeps null-text and empty-text as distinct groups (batch parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dedupn_docs").toString

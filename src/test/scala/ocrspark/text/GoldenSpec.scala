@@ -59,6 +59,26 @@ class GoldenSpec extends AnyFunSuite {
     assert(bad.isEmpty, msg)
   }
 
+  test("quirk 2 chain: date mangler destroys the expediente id end-to-end " +
+    "(chain_q2_date_destroys_expediente)") {
+    // The unanchored dd[-/]dd[-/]yyyy rewrite (app.py:130, replicated at
+    // Normalize.scala) hits "24-0-0401" INSIDE the expediente id, so the
+    // id survives raw extraction but the pipeline order (normalize →
+    // extract, app.py:638,768) loses it — and extracts a bogus fecha
+    // instead. This is the documented quirk-2 consequence, pinned
+    // against the CPython-generated truth AND reproduced by the Scala
+    // chain.
+    val c = cases.find(_.name == "chain_q2_date_destroys_expediente").get
+    assert(c.fieldsRaw.get("expediente").contains("01234-2024-0-0401-JR"))
+    assert(!c.fields.contains("expediente"))
+    assert(c.fields.get("fecha").contains("24"))
+    assert(c.normalized.contains("2024/0/0401"))
+    val norm = Normalize.normalizeLegal(c.input)
+    assert(norm == c.normalized)
+    assert(Fields.extract(norm) == c.fields)
+    assert(Fields.extract(c.input) == c.fieldsRaw)
+  }
+
   test("one-pass dict correction == sequential reference order on every case") {
     cases.foreach { c =>
       assert(Normalize.applyCorrections(c.input) ==

@@ -219,6 +219,12 @@ def build_inputs(env):
         "t_fold_dotted_I": "FİSCALIA fİscalia PUBLİCO",
         "t_fold_kelvin": "KODIGO CODIGO K",
         "t_fold_long_s": "ſiscalia FIſCALIA",
+        # Quirk 2 PIPELINE-LEVEL consequence (app.py:130 x app.py:153):
+        # the unanchored date rule rewrites "24-0-0401" inside the
+        # expediente id to "24/0/0401", so the id survives raw
+        # extraction but the normalize->extract pipeline LOSES it.
+        "chain_q2_date_destroys_expediente":
+            "EXPEDIENTE N° 01234-2024-0-0401-JR-PE seguido contra el imputado",
     })
     return inputs
 
