@@ -312,8 +312,12 @@ object SparkEntry {
         .select((col("vec_id") + 10000L).as("vec_id"),
           transform(col("embedding"), x => (x + lit(0.001f)).cast("float"))
             .as("embedding"))
+      val corpus = emb.unionAll(planted)
+      // plane count sized to the corpus (floor 16 keeps small-scale
+      // behavior identical); at 10^12 docs this is ~35 planes
+      val planes = ocrspark.ops.Dedup.adaptivePlanes(corpus.count())
       ocrspark.ops.Dedup.embeddingNearDups(
-          emb.unionAll(planted), "vec_id", "embedding", 0.99)
+          corpus, "vec_id", "embedding", 0.99, planes)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -508,6 +512,55 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming
         |FROM pairs WHERE hamming <= 3
         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    // Full SQL re-derivation of the langid heuristic (TextOps
+    // .languageIdImpl): 4000-char sample, CJK-share zh branch, runs of
+    // non-letters tokenized, marker hit-rate with lexicographic
+    // tie-break and the 2% threshold. Java split keeps a leading empty
+    // token but drops trailing empties — the ntok CASE replicates that.
+    // Validated per-doc against the UDF at sf0.001/0.01/0.1 (0
+    // mismatches; corpus is BMP-only so codepoint≡UTF-16 sampling).
+    "t2_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substring(coalesce(text,''), 1, 4000) AS s
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang, s,
+        |    length(regexp_replace(s, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    length(regexp_replace(s, '[^\p{L}]', '', 'g')) AS letters,
+        |    regexp_split_to_array(lower(s), '[^\p{L}]+') AS toks
+        |  FROM d),
+        |tok AS (
+        |  SELECT doc_id, lang, s, cjk, letters,
+        |    len(toks) - (CASE WHEN len(toks) > 1 AND toks[-1] = ''
+        |                 THEN 1 ELSE 0 END) AS ntok,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist',
+        |      'nicht','ein','eine','mit','von','zu','den','im','für','auf')))
+        |      AS hits_de,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','is','in',
+        |      'that','it','with','was','for','are','this','have','from')))
+        |      AS hits_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','las','de','del',
+        |      'que','y','en','un','una','es','por','con','para'))) AS hits_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','des','et','est',
+        |      'une','dans','que','pour','sur','avec','pas','au','du')))
+        |      AS hits_fr
+        |  FROM feat),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN s = '' THEN 'und'
+        |      WHEN letters > 0 AND cjk * 10 >= letters THEN 'zh'
+        |      WHEN greatest(hits_de, hits_en, hits_es, hits_fr) * 50 < ntok
+        |        THEN 'und'
+        |      WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+        |        THEN 'de'
+        |      WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+        |        THEN 'en'
+        |      WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+        |        THEN 'es'
+        |      ELSE 'fr' END AS predicted
+        |  FROM tok)
+        |SELECT lang, predicted, count(*) AS n FROM pred
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
     "t4_token_histogram" ->
       """SELECT token, n FROM (
         |  SELECT token, count(*) AS n FROM (
