@@ -296,6 +296,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+
     // D4: exact n-gram Jaccard re-scoring over LSH candidates.
     "d4_ngram_jaccard" -> ((s, dir) => {
       ocrspark.ops.Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "doc_id", "text")
@@ -472,6 +473,25 @@ object SparkEntry {
     }),
   )
 
+  /** Auxiliary oracle-input dumps written by Verify alongside the query
+    * dumps (NOT driver-facing queries — they carry array columns, which
+    * the driver's rows-only hasher may not accept). Each feeds an
+    * `__OUT__`-referencing oracle: minhash sketches + band rows (the
+    * banding shuffle's exact input; band signatures use Spark's murmur
+    * hash, not reproducible in DuckDB, hence dumped not re-derived) and
+    * the word-3-gram sets for the d4 exact-jaccard rescore. */
+  def oracleInputDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d2s_minhash_sketches" -> ((s, dir) =>
+      ocrspark.ops.Dedup.minhashSketches(dedupCorpus(s, dir), "doc_id", "text")),
+    "d2s_minhash_bands" -> ((s, dir) =>
+      ocrspark.ops.Dedup.minhashBands(
+        ocrspark.ops.Dedup.minhashSketches(dedupCorpus(s, dir),
+          "doc_id", "text"))),
+    "d4s_ngram_sets" -> ((s, dir) =>
+      dedupCorpus(s, dir)
+        .select(col("doc_id").as("id"),
+          ocrspark.ops.Dedup.ngramSet(col("text")).as("ng"))))
+
   /** DuckDB oracle SQL per query (column names MUST match the Spark
     * result — the driver sorts columns by name and hashes values).
     * `__OUT__` is replaced by Verify with the absolute dump directory,
@@ -512,6 +532,110 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming
         |FROM pairs WHERE hamming <= 3
         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    // Re-derives MinHash-LSH pair generation + rescoring from the
+    // dumped sketches and band rows: bucket sizing, in-cap all-pairs vs
+    // over-cap member→keeper star, cross-band candidate dedup, and the
+    // estimated-jaccard rescore (positionwise sketch agreement / 64 —
+    // n/64 is exact in binary, so no float-compare risk).
+    "d2_minhash_pairs" ->
+      """WITH sk AS (
+        |  SELECT id, mh
+        |  FROM read_parquet('__OUT__/d2s_minhash_sketches/*.parquet')),
+        |bands AS (
+        |  SELECT id, band, sig
+        |  FROM read_parquet('__OUT__/d2s_minhash_bands/*.parquet')),
+        |sized AS (
+        |  SELECT id, band, sig,
+        |    count(*) OVER (PARTITION BY band, sig) AS n,
+        |    min(id)  OVER (PARTITION BY band, sig) AS keeper
+        |  FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b
+        |    FROM sized a JOIN sized b
+        |      ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+        |    WHERE a.n BETWEEN 2 AND 64
+        |    UNION ALL
+        |    SELECT keeper AS id_a, id AS id_b
+        |    FROM sized WHERE n > 64 AND id <> keeper)),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) / 64.0
+        |      AS est_jaccard
+        |  FROM cand
+        |  JOIN sk sa ON sa.id = cand.id_a
+        |  JOIN sk sb ON sb.id = cand.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM scored
+        |WHERE est_jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    // d4 = the same LSH candidates at threshold 0.5, re-scored with the
+    // EXACT word-3-gram jaccard from the dumped sets (sets are already
+    // distinct, so intersect/union-distinct over the lists is the set
+    // measure; two empty sets → 1.0 as in the Scala kernel).
+    "d4_ngram_jaccard" ->
+      """WITH sk AS (
+        |  SELECT id, mh
+        |  FROM read_parquet('__OUT__/d2s_minhash_sketches/*.parquet')),
+        |bands AS (
+        |  SELECT id, band, sig
+        |  FROM read_parquet('__OUT__/d2s_minhash_bands/*.parquet')),
+        |ng AS (
+        |  SELECT id, ng
+        |  FROM read_parquet('__OUT__/d4s_ngram_sets/*.parquet')),
+        |sized AS (
+        |  SELECT id, band, sig,
+        |    count(*) OVER (PARTITION BY band, sig) AS n,
+        |    min(id)  OVER (PARTITION BY band, sig) AS keeper
+        |  FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b
+        |    FROM sized a JOIN sized b
+        |      ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+        |    WHERE a.n BETWEEN 2 AND 64
+        |    UNION ALL
+        |    SELECT keeper AS id_a, id AS id_b
+        |    FROM sized WHERE n > 64 AND id <> keeper)),
+        |lsh AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sk sa ON sa.id = cand.id_a
+        |  JOIN sk sb ON sb.id = cand.id_b
+        |  WHERE list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) / 64.0 >= 0.5),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    round(CASE WHEN len(na.ng) = 0 AND len(nb.ng) = 0 THEN 1.0
+        |      ELSE len(list_intersect(na.ng, nb.ng)) * 1.0 /
+        |        len(list_distinct(list_concat(na.ng, nb.ng))) END, 6)
+        |      AS jaccard
+        |  FROM lsh JOIN ng na ON na.id = lsh.id_a
+        |           JOIN ng nb ON nb.id = lsh.id_b)
+        |SELECT id_a, id_b, jaccard FROM scored
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // m2 = pure arithmetic downstream of m1's (real) metadata: stride-4
+    // frame explode (DuckDB range() is stop-exclusive, Spark sequence()
+    // is stop-inclusive — the +1 aligns them) and the 224-box resize
+    // plan with no-upscale clamp.
+    "m2_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT id, width, height, n_frames
+        |  FROM read_parquet('__OUT__/m1_media_meta/*.parquet')),
+        |frames AS (
+        |  SELECT id, width, height,
+        |    unnest(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS frame_idx
+        |  FROM meta),
+        |planned AS (
+        |  SELECT id, frame_idx,
+        |    CAST(id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)
+        |      AS frame_key,
+        |    round(least(224.0 / greatest(width, 1),
+        |                224.0 / greatest(height, 1), 1.0), 6) AS scale,
+        |    width, height
+        |  FROM frames)
+        |SELECT id, CAST(frame_idx AS INT) AS frame_idx, frame_key, scale,
+        |  CAST(floor(width * scale) AS INT) AS out_w,
+        |  CAST(floor(height * scale) AS INT) AS out_h
+        |FROM planned ORDER BY id, frame_idx""".stripMargin,
     // Full SQL re-derivation of the langid heuristic (TextOps
     // .languageIdImpl): 4000-char sample, CJK-share zh branch, runs of
     // non-letters tokenized, marker hit-rate with lexicographic

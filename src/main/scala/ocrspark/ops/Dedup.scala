@@ -214,8 +214,10 @@ object Dedup {
     df.select(col(idCol).as("id"), minhash(col(textCol)).as("mh"))
 
   /** Band rows (id, band, sig) for a sketch table — band signature =
-    * hash of the band's 4 minhashes. */
-  private def minhashBands(withMh: DataFrame): DataFrame =
+    * hash of the band's 4 minhashes. Public so the band derivation can
+    * be dumped for the cross-engine oracle (the banding shuffle's exact
+    * input) and reused by the streaming surface. */
+  def minhashBands(withMh: DataFrame): DataFrame =
     withMh.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${NumBands - 1}), " +
         s"b -> hash(b, slice(mh, b * $BandSize + 1, $BandSize)))"))
