@@ -685,6 +685,51 @@ object SparkEntry {
         |  FROM tok)
         |SELECT lang, predicted, count(*) AS n FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    // Full SQL re-derivation of the winnowing fingerprint
+    // (TextOps.fingerprintImpl): ws-normalize + lower, 8-gram
+    // Rabin-Karp hashes computed positionally as polynomials mod 2^64
+    // (HUGEINT arithmetic; the inline constants are B^7..B^0 mod 2^64
+    // for B=1000003 — the closed form of the rolling recurrence),
+    // signed-BIGINT window-of-4 minima, rotate-left by (j%63)+1, and
+    // XOR fold. Docs shorter than 8 chars take Java String.hashCode
+    // (32-bit wraparound, sign-extended). Validated per-doc against the
+    // UDF at sf0.001/0.01 (0 mismatches).
+    "t3_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+        |      AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, s, length(s) AS n FROM d),
+        |short AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN 0::BIGINT
+        |    ELSE CAST(CASE WHEN hm >= 2147483648::HUGEINT
+        |      THEN hm - 4294967296::HUGEINT ELSE hm END AS BIGINT)
+        |    END AS fp
+        |  FROM (
+        |    SELECT doc_id, n,
+        |      CASE WHEN n = 0 THEN 0::HUGEINT ELSE list_reduce(
+        |        list_prepend(0::HUGEINT,
+        |          list_transform(range(1, n + 1), i -> unicode(s[i:i])::HUGEINT)),
+        |        (h, c) -> (h * 31 + c) % 4294967296::HUGEINT) END AS hm
+        |    FROM base WHERE n < 8)),
+        |longdocs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, n - 6), i ->
+        |      CAST(CASE WHEN (((unicode(s[i+0:i+0])::HUGEINT * 12924618581234127435::HUGEINT) + (unicode(s[i+1:i+1])::HUGEINT * 10923514805226455897::HUGEINT) + (unicode(s[i+2:i+2])::HUGEINT * 14453212906556403763::HUGEINT) + (unicode(s[i+3:i+3])::HUGEINT * 14003818205314896721::HUGEINT) + (unicode(s[i+4:i+4])::HUGEINT * 1000009000027000027::HUGEINT) + (unicode(s[i+5:i+5])::HUGEINT * 1000006000009::HUGEINT) + (unicode(s[i+6:i+6])::HUGEINT * 1000003::HUGEINT) + (unicode(s[i+7:i+7])::HUGEINT * 1::HUGEINT)) % 18446744073709551616::HUGEINT) >= 9223372036854775808::HUGEINT
+        |        THEN (((unicode(s[i+0:i+0])::HUGEINT * 12924618581234127435::HUGEINT) + (unicode(s[i+1:i+1])::HUGEINT * 10923514805226455897::HUGEINT) + (unicode(s[i+2:i+2])::HUGEINT * 14453212906556403763::HUGEINT) + (unicode(s[i+3:i+3])::HUGEINT * 14003818205314896721::HUGEINT) + (unicode(s[i+4:i+4])::HUGEINT * 1000009000027000027::HUGEINT) + (unicode(s[i+5:i+5])::HUGEINT * 1000006000009::HUGEINT) + (unicode(s[i+6:i+6])::HUGEINT * 1000003::HUGEINT) + (unicode(s[i+7:i+7])::HUGEINT * 1::HUGEINT)) % 18446744073709551616::HUGEINT) - 18446744073709551616::HUGEINT
+        |        ELSE (((unicode(s[i+0:i+0])::HUGEINT * 12924618581234127435::HUGEINT) + (unicode(s[i+1:i+1])::HUGEINT * 10923514805226455897::HUGEINT) + (unicode(s[i+2:i+2])::HUGEINT * 14453212906556403763::HUGEINT) + (unicode(s[i+3:i+3])::HUGEINT * 14003818205314896721::HUGEINT) + (unicode(s[i+4:i+4])::HUGEINT * 1000009000027000027::HUGEINT) + (unicode(s[i+5:i+5])::HUGEINT * 1000006000009::HUGEINT) + (unicode(s[i+6:i+6])::HUGEINT * 1000003::HUGEINT) + (unicode(s[i+7:i+7])::HUGEINT * 1::HUGEINT)) % 18446744073709551616::HUGEINT) END AS BIGINT)) AS gl
+        |  FROM base WHERE n >= 8),
+        |winnowed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      CASE WHEN len(gl) < 4 THEN []::BIGINT[]
+        |      ELSE list_transform(range(0, (len(gl) - 4) // 4 + 1), w -> CAST(CASE WHEN (((CASE WHEN (list_min(gl[w*4+1 : w*4+4])) < 0 THEN (list_min(gl[w*4+1 : w*4+4]))::HUGEINT + 18446744073709551616::HUGEINT ELSE (list_min(gl[w*4+1 : w*4+4]))::HUGEINT END) << (((w*4) % 63) + 1)) | ((CASE WHEN (list_min(gl[w*4+1 : w*4+4])) < 0 THEN (list_min(gl[w*4+1 : w*4+4]))::HUGEINT + 18446744073709551616::HUGEINT ELSE (list_min(gl[w*4+1 : w*4+4]))::HUGEINT END) >> (64 - (((w*4) % 63) + 1)))) % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT THEN ((((CASE WHEN (list_min(gl[w*4+1 : w*4+4])) < 0 THEN (list_min(gl[w*4+1 : w*4+4]))::HUGEINT + 18446744073709551616::HUGEINT ELSE (list_min(gl[w*4+1 : w*4+4]))::HUGEINT END) << (((w*4) % 63) + 1)) | ((CASE WHEN (list_min(gl[w*4+1 : w*4+4])) < 0 THEN (list_min(gl[w*4+1 : w*4+4]))::HUGEINT + 18446744073709551616::HUGEINT ELSE (list_min(gl[w*4+1 : w*4+4]))::HUGEINT END) >> (64 - (((w*4) % 63) + 1)))) % 18446744073709551616::HUGEINT) - 18446744073709551616::HUGEINT ELSE ((((CASE WHEN (list_min(gl[w*4+1 : w*4+4])) < 0 THEN (list_min(gl[w*4+1 : w*4+4]))::HUGEINT + 18446744073709551616::HUGEINT ELSE (list_min(gl[w*4+1 : w*4+4]))::HUGEINT END) << (((w*4) % 63) + 1)) | ((CASE WHEN (list_min(gl[w*4+1 : w*4+4])) < 0 THEN (list_min(gl[w*4+1 : w*4+4]))::HUGEINT + 18446744073709551616::HUGEINT ELSE (list_min(gl[w*4+1 : w*4+4]))::HUGEINT END) >> (64 - (((w*4) % 63) + 1)))) % 18446744073709551616::HUGEINT) END AS BIGINT)) END),
+        |      (a, b) -> xor(a, b)) AS fp
+        |  FROM longdocs)
+        |SELECT doc_id, fp FROM short UNION ALL
+        |SELECT doc_id, fp FROM winnowed ORDER BY doc_id""".stripMargin,
     "t4_token_histogram" ->
       """SELECT token, n FROM (
         |  SELECT token, count(*) AS n FROM (
