@@ -98,6 +98,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bucketed lake tables join with no shuffle and no sort") {
+    // The 100 TB co-located-join story: two lake tables bucketed+sorted
+    // by url join WITHOUT any Exchange (bucketing provides the hash
+    // distribution) and WITHOUT a sort (one file per bucket, sortBy
+    // honored at the scan). On a cluster this is the difference between
+    // re-shuffling 100 TB per join and reading co-located splits.
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("planspec_wh").toString
+    val a = pagesParquet.select($"url", $"lang")
+    val b = pagesParquet.select($"url", org.apache.spark.sql.functions
+      .octet_length($"html").as("n_bytes"))
+    spark.sql("DROP TABLE IF EXISTS pages_b")
+    spark.sql("DROP TABLE IF EXISTS ext_b")
+    a.coalesce(1).write.format("parquet")
+      .option("path", s"$wh/pages_b")
+      .bucketBy(8, "url").sortBy("url").saveAsTable("pages_b")
+    b.coalesce(1).write.format("parquet")
+      .option("path", s"$wh/ext_b")
+      .bucketBy(8, "url").sortBy("url").saveAsTable("ext_b")
+    // force the shuffle-join path: at sf0.001 both sides fit under the
+    // broadcast threshold, which would bypass bucketing entirely (and
+    // at 100 TB neither fact table broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("pages_b").join(spark.table("ext_b"), Seq("url"))
+      val plan = planOf(j)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") ||
+        l.trim.startsWith(":- Sort")), plan)
+      assert(j.count() == a.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
+
   test("LSH candidate generation has no self-join and no sort-merge join") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
