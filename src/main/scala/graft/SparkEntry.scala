@@ -322,6 +322,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // J2: as-of join — for each non-error event, the user's most
+    // recent error event at-or-before it (session diagnostics shape).
+    // Union-scan implementation: one shuffle per side, no join node;
+    // DuckDB's native ASOF JOIN is the cross-engine oracle.
+    "j2_asof_join" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val rest = events.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      ocrspark.ops.AsOfJoin.asOf(rest, errors, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof.event_id").as("last_error_id"),
+          col("asof.value").as("last_error_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // S2: brute-force cosine top-k (exact ANN baseline, DuckDB-verified).
     "s2_cosine_topk" -> ((s, dir) => {
       ocrspark.ops.Similarity.bruteForceTopK(
@@ -685,6 +702,15 @@ object SparkEntry {
         |  FROM tok)
         |SELECT lang, predicted, count(*) AS n FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "j2_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  r.event_id AS last_error_id, r.value AS last_error_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |                WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     // Full SQL re-derivation of the winnowing fingerprint
     // (TextOps.fingerprintImpl): ws-normalize + lower, 8-gram
     // Rabin-Karp hashes computed positionally as polynomials mod 2^64

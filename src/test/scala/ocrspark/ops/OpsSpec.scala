@@ -261,6 +261,32 @@ class OpsSpec extends AnyFunSuite {
     assert(bpe == Seq(3, 5, 0, 0)) // a,-,b,c,!
   }
 
+  test("as-of join: latest at-or-before match per key, no join node in plan") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")), // after e1 → e1
+      (2L, 10L, t("2024-01-01 12:00:00")), // after e2 → e2
+      (3L, 10L, t("2024-01-01 11:00:00")), // tie with e2 → e2 (at-or-before)
+      (4L, 20L, t("2024-01-01 09:00:00")), // before any error → null
+      (5L, 30L, t("2024-01-01 09:00:00"))  // key with no errors → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, t("2024-01-01 09:30:00"), 1.0),
+      (102L, 10L, t("2024-01-01 11:00:00"), 2.0),
+      (103L, 20L, t("2024-01-01 10:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts")
+      .select($"event_id", $"asof.event_id".as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(101L), 2L -> Some(102L),
+      3L -> Some(102L), 4L -> None, 5L -> None))
+    // union-scan shape: a window over one shuffle, NO join operator
+    val plan = AsOfJoin.asOf(left, right, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("token histogram: counts, empty-token filtering, deterministic top-N") {
     import spark.implicits._
     val df = Seq("a b a", "a\t\tc", "  ", null.asInstanceOf[String]).toDF("text")
