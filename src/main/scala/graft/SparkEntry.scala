@@ -322,6 +322,54 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // W5b: batch sessionization (gaps-and-islands) — the batch analog
+    // of the streaming hostSessions operator: a session breaks after
+    // >30 min of inactivity per user. Two stacked windows over ONE
+    // shuffle on user_id (lag → new-session flag → running sum), then
+    // the session aggregate; fully SQL-expressible, DuckDB-verified.
+    "w5_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val flagged = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(byUser))
+      flagged.groupBy(col("user_id"), col("sess_no"))
+        .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_no"))
+    }),
+
+    // J3: binned range join — for each error event, how many of the
+    // user's non-error events fall in the preceding 5 minutes (context
+    // extraction around failures). The bin trick turns the interval
+    // predicate into an equi-join on (user, time-bin) — no
+    // BroadcastNestedLoop; DuckDB checks it with a plain inequality
+    // join.
+    "j3_range_context" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val win = 300000000L // 5 min in µs
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          (col("us") - win).as("start_us"), col("us").as("end_us"))
+      val points = ev.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("us").as("p_us"))
+      val matched = ocrspark.ops.RangeJoin.pointInInterval(
+        points, errors, "user_id", "p_us", "start_us", "end_us", win)
+      val counts = matched.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_ctx"))
+      errors.select(col("event_id"), col("user_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_ctx"), lit(0L)).as("n_ctx"))
+        .orderBy(col("event_id"))
+    }),
+
     // J2: as-of join — for each non-error event, the user's most
     // recent error event at-or-before it (session diagnostics shape).
     // Union-scan implementation: one shuffle per side, no join node;
@@ -702,6 +750,32 @@ object SparkEntry {
         |  FROM tok)
         |SELECT lang, predicted, count(*) AS n FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "w5_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |      ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin,
+    "j3_range_context" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(count(o.user_id) AS BIGINT) AS n_ctx
+        |FROM events e LEFT JOIN events o
+        |  ON o.user_id = e.user_id AND o.event_type <> 'error'
+        |  AND epoch_us(o.ts) BETWEEN epoch_us(e.ts) - 300000000
+        |    AND epoch_us(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
     "j2_asof_join" ->
       """SELECT l.event_id, l.user_id,
         |  r.event_id AS last_error_id, r.value AS last_error_value

@@ -1,0 +1,40 @@
+package ocrspark.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join via time binning.
+  *
+  * The naive formulation (`p.ts BETWEEN i.start AND i.end` as a join
+  * condition) has no equi-key, so Spark plans a BroadcastNestedLoopJoin
+  * — O(P×I) and a scale-killer the moment neither side broadcasts. The
+  * binned shape turns it into an EQUI-join: intervals explode into the
+  * time bins they overlap (≤ 2 bins each when `binWidth` ≥ the longest
+  * interval), points land in exactly one bin, the join runs on
+  * (key, bin) — hash-partitionable, AQE-skew-splittable — and the exact
+  * containment predicate filters the bin-collision false positives.
+  * Shuffle payload is each side ~once (intervals ≤ 2×).
+  */
+object RangeJoin {
+
+  /** Inner join of points to the intervals containing them (same key,
+    * `startCol ≤ pCol ≤ endCol`, all three numeric — e.g. epoch
+    * micros). `binWidth` MUST be ≥ the longest interval so an interval
+    * spans at most 2 bins; values must be non-negative (epoch time).
+    * Output: point columns + interval columns (names must not clash
+    * apart from `keyCol`). */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keyCol: String, pCol: String,
+                      startCol: String, endCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ivl = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    val pts = points.withColumn("__bin",
+      floor(col(pCol) / binWidth).cast("long"))
+    pts.join(ivl, Seq(keyCol, "__bin"))
+      .filter(col(pCol) >= col(startCol) && col(pCol) <= col(endCol))
+      .drop("__bin")
+  }
+}

@@ -287,6 +287,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("range join: binned equi-join matches brute force, no nested-loop join") {
+    import spark.implicits._
+    // intervals of varying length ≤ binWidth; points on and off edges
+    val points = Seq((10L, 100L), (10L, 150L), (10L, 151L), (10L, 99L),
+      (20L, 500L), (30L, 42L)).toDF("k", "p")
+    val ivls = Seq((1L, 10L, 100L, 150L), (2L, 10L, 140L, 160L),
+      (3L, 20L, 0L, 50L), (4L, 30L, 40L, 44L)).toDF("ivl", "k", "s", "e")
+    val got = RangeJoin.pointInInterval(points, ivls, "k", "p", "s", "e", 200L)
+      .select($"ivl", $"p").as[(Long, Long)].collect().toSet
+    // brute force truth
+    val truth = (for {
+      (pk, p) <- Seq((10L, 100L), (10L, 150L), (10L, 151L), (10L, 99L),
+        (20L, 500L), (30L, 42L))
+      (ivl, ik, s, e) <- Seq((1L, 10L, 100L, 150L), (2L, 10L, 140L, 160L),
+        (3L, 20L, 0L, 50L), (4L, 30L, 40L, 44L))
+      if pk == ik && p >= s && p <= e
+    } yield (ivl, p)).toSet
+    assert(got == truth, s"got $got want $truth")
+    val plan = RangeJoin.pointInInterval(points, ivls, "k", "p", "s", "e", 200L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("token histogram: counts, empty-token filtering, deterministic top-N") {
     import spark.implicits._
     val df = Seq("a b a", "a\t\tc", "  ", null.asInstanceOf[String]).toDF("text")
