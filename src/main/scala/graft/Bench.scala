@@ -155,7 +155,8 @@ object Bench {
       SparkEntry.queries("s2_cosine_topk")(spark, sfDir).count()
     }
 
-    Seq("q1_agg", "j1_join_agg", "a1_gated_avg", "w1_first_k").foreach { q =>
+    Seq("q1_agg", "j1_join_agg", "a1_gated_avg", "w1_first_k",
+      "t4_token_histogram", "j2_asof_join", "j3_range_context").foreach { q =>
       warmTimed(q) { SparkEntry.queries(q)(spark, sfDir).count() }
     }
 
