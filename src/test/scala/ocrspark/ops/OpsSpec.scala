@@ -201,6 +201,14 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("adaptive plane count: floor at 16, grows log2 with the corpus") {
+    assert(Dedup.adaptivePlanes(0) == 16)
+    assert(Dedup.adaptivePlanes(1000) == 16) // small corpus keeps r1/r2 geometry
+    assert(Dedup.adaptivePlanes(1L << 21, 32) == 16) // 2^21/32 = 2^16
+    assert(Dedup.adaptivePlanes(1L << 26, 32) == 21)
+    assert(Dedup.adaptivePlanes(1000000000000L, 32) == 35) // 10^12 docs
+  }
+
   test("embedding near-dups: over-cap bucket degrades to keeper star, never quadratic") {
     import spark.implicits._
     // 1000 identical vectors land in ONE sign-LSH bucket; uncapped this

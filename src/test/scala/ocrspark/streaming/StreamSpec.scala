@@ -214,6 +214,26 @@ class StreamSpec extends AnyFunSuite {
     assert(out.map(_.doc_id).toSeq == Seq(1L, 2L), s"got ${out.toSeq}")
   }
 
+  test("streaming near-dup state is capped; over-cap arrivals star to the keeper") {
+    // direct state-fn unit test: 70 identical-sketch docs into ONE
+    // band bucket (cap 64). State must hold at most 64 members; the 6
+    // over-cap arrivals must each pair against the keeper (first-seen
+    // member), never against each other pairwise.
+    val mh = Seq.fill(64)(7L)
+    val state = new TestGroupState[Seq[(Long, Seq[Long])]]
+    val out1 = StreamExtract.nearDupBand(0.7, 64)(
+      (0, 123), (0L until 64L).map(i => (i, mh)).iterator, state).toVector
+    assert(state.get.size == 64)
+    // 64 in-cap arrivals: each pairs against all earlier members
+    assert(out1.size == 64 * 63 / 2)
+    val out2 = StreamExtract.nearDupBand(0.7, 64)(
+      (0, 123), (100L until 106L).map(i => (i, mh)).iterator, state).toVector
+    assert(state.get.size == 64, "state must stay capped")
+    assert(out2.size == 6, s"each over-cap arrival pairs once: $out2")
+    assert(out2.forall(p => p.id_a == 0L && p.est_jaccard == 1.0),
+      s"over-cap arrivals must star to the keeper: $out2")
+  }
+
   /** Minimal GroupState stub for direct unit-testing of the state fn. */
   class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
