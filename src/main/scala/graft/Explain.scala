@@ -21,7 +21,14 @@ object Explain {
       SparkEntry.queries.get(n) match {
         case Some(q) =>
           println(s"\n===== $n =====")
-          q(spark, sfDir).explain("formatted")
+          val df = q(spark, sfDir)
+          if (sys.env.contains("GRAFT_EXPLAIN_EXEC")) {
+            // execute first, then print the FINAL adaptive plan — shows
+            // runtime decisions (exchange reuse, AQE join/skew changes)
+            // that the static formatted plan can't
+            df.count()
+            println(df.queryExecution.executedPlan.toString)
+          } else df.explain("formatted")
         case None => System.err.println(s"unknown query: $n")
       }
     }

@@ -322,6 +322,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // A8: exact percentiles per group — corpus length distribution by
+    // language (the "how long are my documents" curation question).
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // same linear-interpolation definition, so this is oracle-exact
+    // after round(6).
+    "a8_percentiles" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("lang"))
+        .agg(round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // W5b: batch sessionization (gaps-and-islands) — the batch analog
     // of the streaming hostSessions operator: a session breaks after
     // >30 min of inactivity per user. Two stacked windows over ONE
@@ -750,6 +763,11 @@ object SparkEntry {
         |  FROM tok)
         |SELECT lang, predicted, count(*) AS n FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "a8_percentiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.95), 6) AS p95,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "w5_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,
