@@ -322,6 +322,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // A9: hierarchical rollup — event counts and gated value sums at
+    // (type, day), (type), and grand-total levels in ONE pass (Spark
+    // expands grouping sets before the shuffle; partial aggregation
+    // still applies). The classic OLAP drill-down shape.
+    "a9_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+          col("value"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
     // A8: exact percentiles per group — corpus length distribution by
     // language (the "how long are my documents" curation question).
     // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
@@ -763,6 +778,12 @@ object SparkEntry {
         |  FROM tok)
         |SELECT lang, predicted, count(*) AS n FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "a9_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, day)
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
     "a8_percentiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
         |  round(quantile_cont(n_chars, 0.95), 6) AS p95,
