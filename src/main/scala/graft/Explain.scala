@@ -25,8 +25,11 @@ object Explain {
           if (sys.env.contains("GRAFT_EXPLAIN_EXEC")) {
             // execute first, then print the FINAL adaptive plan — shows
             // runtime decisions (exchange reuse, AQE join/skew changes)
-            // that the static formatted plan can't
-            df.count()
+            // that the static formatted plan can't. Must drive THIS
+            // df's own QueryExecution (collect does; a count() would
+            // build and execute a separate aggregate QE and leave this
+            // one unexecuted/non-final).
+            df.collect()
             println(df.queryExecution.executedPlan.toString)
           } else df.explain("formatted")
         case None => System.err.println(s"unknown query: $n")

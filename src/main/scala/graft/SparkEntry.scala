@@ -833,10 +833,15 @@ object SparkEntry {
     // XOR fold. Docs shorter than 8 chars take Java String.hashCode
     // (32-bit wraparound, sign-extended). Validated per-doc against the
     // UDF at sf0.001/0.01 (0 mismatches).
+    // NOTE trim set: Java String.trim strips EVERY char ≤ U+0020 at the
+    // edges, not just spaces — the chr(1..32) set replicates that
+    // (NUL excluded: DuckDB strings can't hold it; Java-side it cannot
+    // survive parquet text either).
     "t3_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    trim(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+        |    trim(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')),
+        |      concat_ws('', list_transform(range(1, 33), i -> chr(CAST(i AS INT)))))
         |      AS s
         |  FROM documents WHERE text IS NOT NULL),
         |base AS (SELECT doc_id, s, length(s) AS n FROM d),

@@ -10,11 +10,12 @@ import org.apache.spark.sql.{Encoder, functions}
   * `collect_list` over a degenerate bucket (boilerplate pages, mirrored
   * sites, near-empty docs) is unbounded: at 10^12 docs a single hot
   * (band, signature) key can hold 10^9 members and OOM its reduce task
-  * before any size filter runs. These aggregators keep AT MOST `cap`
-  * elements per group at every point — reduce and merge both trim — and
-  * they are Aggregator-based, so Spark runs them with map-side partial
-  * aggregation: the shuffle carries pre-trimmed partial buffers, never
-  * the full degenerate bucket.
+  * before any size filter runs. These aggregators keep AT MOST 2×`cap`
+  * elements per group at every point (trim is deferred to amortize the
+  * sort; `finish` returns exactly ≤ cap) and they are Aggregator-based,
+  * so Spark runs them with map-side partial aggregation: the shuffle
+  * carries pre-trimmed partial buffers, never the full degenerate
+  * bucket.
   *
   * "Smallest by id" is the invariant the dedup semantics need: the
   * bucket's keeper (min id) always survives trimming, so an over-cap
@@ -22,19 +23,35 @@ import org.apache.spark.sql.{Encoder, functions}
   */
 object BoundedCollect {
 
-  /** Trim helper: keep the `cap` smallest by `key`, ties broken by the
-    * ordering itself (ids are unique in every caller). Sorting only
-    * happens when the buffer exceeds cap, so in-cap groups pay nothing
-    * beyond the append. */
-  private def trim[T](s: Seq[T], cap: Int)(implicit ord: Ordering[T]): Seq[T] =
-    if (s.length <= cap) s else s.sorted.take(cap)
+  /** Append with DEFERRED trimming: the buffer grows to 2×cap before a
+    * sort-and-trim back to cap, so a hot bucket (the 10^9-member
+    * degenerate case this class exists for) pays an amortized
+    * O(log cap) per element instead of a full sort + copy per element,
+    * while the buffer stays bounded at 2×cap everywhere. The cap
+    * smallest elements always survive a trim, so the eventual keeper
+    * (global min) is never lost. */
+  private def append[T](s: Seq[T], a: T, cap: Int)
+                       (implicit ord: Ordering[T]): Seq[T] = {
+    val grown = s :+ a
+    if (grown.length <= 2 * cap) grown else grown.sorted.take(cap)
+  }
+
+  private def mergeTrim[T](x: Seq[T], y: Seq[T], cap: Int)
+                          (implicit ord: Ordering[T]): Seq[T] = {
+    val all = x ++ y
+    if (all.length <= 2 * cap) all else all.sorted.take(cap)
+  }
+
+  /** Final sort + trim (the buffer may legitimately hold up to 2×cap). */
+  private def fin[T](s: Seq[T], cap: Int)(implicit ord: Ordering[T]): Seq[T] =
+    s.sorted.take(cap)
 
   class BoundedLongs(cap: Int)
       extends Aggregator[Long, Seq[Long], Seq[Long]] {
     def zero: Seq[Long] = Vector.empty
-    def reduce(b: Seq[Long], a: Long): Seq[Long] = trim(b :+ a, cap)
-    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y, cap)
-    def finish(b: Seq[Long]): Seq[Long] = b.sorted
+    def reduce(b: Seq[Long], a: Long): Seq[Long] = append(b, a, cap)
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = mergeTrim(x, y, cap)
+    def finish(b: Seq[Long]): Seq[Long] = fin(b, cap)
     def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
@@ -45,9 +62,9 @@ object BoundedCollect {
   class BoundedIdSh(cap: Int)
       extends Aggregator[IdSh, Seq[IdSh], Seq[IdSh]] {
     def zero: Seq[IdSh] = Vector.empty
-    def reduce(b: Seq[IdSh], a: IdSh): Seq[IdSh] = trim(b :+ a, cap)
-    def merge(x: Seq[IdSh], y: Seq[IdSh]): Seq[IdSh] = trim(x ++ y, cap)
-    def finish(b: Seq[IdSh]): Seq[IdSh] = b.sorted
+    def reduce(b: Seq[IdSh], a: IdSh): Seq[IdSh] = append(b, a, cap)
+    def merge(x: Seq[IdSh], y: Seq[IdSh]): Seq[IdSh] = mergeTrim(x, y, cap)
+    def finish(b: Seq[IdSh]): Seq[IdSh] = fin(b, cap)
     def bufferEncoder: Encoder[Seq[IdSh]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[IdSh]] = ExpressionEncoder()
   }
@@ -58,9 +75,9 @@ object BoundedCollect {
   class BoundedIdVec(cap: Int)
       extends Aggregator[IdVec, Seq[IdVec], Seq[IdVec]] {
     def zero: Seq[IdVec] = Vector.empty
-    def reduce(b: Seq[IdVec], a: IdVec): Seq[IdVec] = trim(b :+ a, cap)
-    def merge(x: Seq[IdVec], y: Seq[IdVec]): Seq[IdVec] = trim(x ++ y, cap)
-    def finish(b: Seq[IdVec]): Seq[IdVec] = b.sorted
+    def reduce(b: Seq[IdVec], a: IdVec): Seq[IdVec] = append(b, a, cap)
+    def merge(x: Seq[IdVec], y: Seq[IdVec]): Seq[IdVec] = mergeTrim(x, y, cap)
+    def finish(b: Seq[IdVec]): Seq[IdVec] = fin(b, cap)
     def bufferEncoder: Encoder[Seq[IdVec]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[IdVec]] = ExpressionEncoder()
   }

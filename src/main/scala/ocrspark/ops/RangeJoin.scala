@@ -28,9 +28,14 @@ object RangeJoin {
                       startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val ivl = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth).cast("long"),
-        floor(col(endCol) / binWidth).cast("long"))))
+    // guard inverted intervals: sequence(start, stop) defaults to step
+    // -1 when start > stop, so one corrupted row with swapped bounds
+    // would explode into millions of descending bins; the correct
+    // semantics for an empty interval is zero matches
+    val ivl = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(startCol) / binWidth).cast("long"),
+          floor(col(endCol) / binWidth).cast("long"))))
     val pts = points.withColumn("__bin",
       floor(col(pCol) / binWidth).cast("long"))
     pts.join(ivl, Seq(keyCol, "__bin"))

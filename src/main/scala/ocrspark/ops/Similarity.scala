@@ -46,14 +46,19 @@ object Similarity {
   }
   val cosineUdf = udf(cosineImpl _)
 
-  def bucketImpl(v: Seq[Float], planes: Int): Int = {
-    var sig = 0
+  def bucketImpl(v: Seq[Float], planes: Int): Long = {
+    // Long signature: adaptivePlanes legitimately asks for >31 planes
+    // at 10^12-doc scale, where an Int signature would alias planes
+    // 32+ onto low bits (JVM masks shifts) and silently collapse the
+    // bucket space
+    require(planes <= 63, s"sign-LSH signature holds at most 63 planes, got $planes")
+    var sig = 0L
     var p = 0
     while (p < planes) {
       var dot = 0.0
       var j = 0
       while (j < v.length) { dot += planeComponent(p, j) * v(j); j += 1 }
-      if (dot >= 0) sig |= (1 << p)
+      if (dot >= 0) sig |= (1L << p)
       p += 1
     }
     sig
@@ -69,12 +74,12 @@ object Similarity {
   /** Multiprobe bucket list: own bucket + all hamming-1 neighbors
     * (planes+1 probes) — recovers most of the recall sign-LSH loses at
     * the bucket boundary. */
-  def probeBucketsImpl(v: Seq[Float], planes: Int): Array[Int] = {
+  def probeBucketsImpl(v: Seq[Float], planes: Int): Array[Long] = {
     val b = bucketImpl(v, planes)
-    val out = new Array[Int](planes + 1)
+    val out = new Array[Long](planes + 1)
     out(0) = b
     var p = 0
-    while (p < planes) { out(p + 1) = b ^ (1 << p); p += 1 }
+    while (p < planes) { out(p + 1) = b ^ (1L << p); p += 1 }
     out
   }
   def probeBuckets(vec: Column, planes: Int): Column =

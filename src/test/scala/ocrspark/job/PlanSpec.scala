@@ -105,7 +105,8 @@ class PlanSpec extends AnyFunSuite {
     // honored at the scan). On a cluster this is the difference between
     // re-shuffling 100 TB per join and reading co-located splits.
     import spark.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("planspec_wh").toString
+    val whPath = java.nio.file.Files.createTempDirectory("planspec_wh")
+    val wh = whPath.toString
     val a = pagesParquet.select($"url", $"lang")
     val b = pagesParquet.select($"url", org.apache.spark.sql.functions
       .octet_length($"html").as("n_bytes"))
@@ -130,8 +131,16 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") ||
         l.trim.startsWith(":- Sort")), plan)
       assert(j.count() == a.count())
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      prevThreshold)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS pages_b")
+      spark.sql("DROP TABLE IF EXISTS ext_b")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(whPath.toFile)
+    }
   }
 
   test("LSH candidate generation has no self-join and no sort-merge join") {

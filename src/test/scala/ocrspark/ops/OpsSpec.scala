@@ -225,7 +225,7 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
     assert(pairs.forall(_._3 == 1.0))
     val sizes = Dedup.embeddingBucketSizes(degen, "vec_id", "embedding")
-      .filter($"bn" > Dedup.MaxBucketSize).as[(Int, Long)].collect()
+      .filter($"bn" > Dedup.MaxBucketSize).as[(Long, Long)].collect()
     assert(sizes.nonEmpty && sizes.head._2 == 1000L)
   }
 
