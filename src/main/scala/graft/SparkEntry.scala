@@ -315,8 +315,10 @@ object SparkEntry {
             .as("embedding"))
       val corpus = emb.unionAll(planted)
       // plane count sized to the corpus (floor 16 keeps small-scale
-      // behavior identical); at 10^12 docs this is ~35 planes
-      val planes = ocrspark.ops.Dedup.adaptivePlanes(corpus.count())
+      // behavior identical); at 10^12 docs this is ~35 planes. Count
+      // the BASE parquet (metadata-only statistics pushdown) rather
+      // than the union — the +50 planted rows can't change a log2.
+      val planes = ocrspark.ops.Dedup.adaptivePlanes(emb.count() + 50)
       ocrspark.ops.Dedup.embeddingNearDups(
           corpus, "vec_id", "embedding", 0.99, planes)
         .orderBy(col("id_a"), col("id_b"))
