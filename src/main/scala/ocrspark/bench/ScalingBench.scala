@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * efficiency ≥ 0.8 between N and 4N executors). The sandbox has no
   * real cluster, so the same job runs at local[8] and local[32] on the
   * SAME materialized input — the documented stand-in (BASELINE.md).
-  * Median of 3 timed runs after a warm-up; writes BENCH/BASELINE.md.
+  * Median of timed runs after a warm-up; writes BENCH/last_scaling.md (BASELINE.md is hand-curated).
   */
 object ScalingBench {
 
@@ -248,7 +248,10 @@ object ScalingBench {
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // last_scaling.md is the per-run machine dump; BENCH/BASELINE.md is
+    // the hand-curated record (best-of-N + disclosures) and must never
+    // be clobbered by a single run
+    Files.writeString(Paths.get("BENCH/last_scaling.md"), md)
     println(f"""{"metric":"scaling efficiency $lo->$hi cores","value":$efficiency%.3f,"unit":"ratio","queries":{"local$lo":${rLo.minSec}%.3f,"local$hi":${rHi.minSec}%.3f},"docs_per_sec_lo":${rLo.docsPerSec}%.1f,"docs_per_sec_hi":${rHi.docsPerSec}%.1f,"cpu_ceiling":$ceiling%.3f,"efficiency_normalized":$normalized%.3f,"multi_jvm_efficiency":$multiEff%.3f,"sf":"$sfDir"}""")
   }
 }
