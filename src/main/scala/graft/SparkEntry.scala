@@ -569,15 +569,20 @@ object SparkEntry {
   )
 
   /** Auxiliary oracle-input dumps written by Verify alongside the query
-    * dumps (NOT driver-facing queries — they carry array columns, which
-    * the driver's rows-only hasher may not accept). Each feeds an
-    * `__OUT__`-referencing oracle: minhash sketches + band rows (the
-    * banding shuffle's exact input; band signatures use Spark's murmur
-    * hash, not reproducible in DuckDB, hence dumped not re-derived) and
-    * the word-3-gram sets for the d4 exact-jaccard rescore. */
+    * dumps. Each feeds an `__OUT__`-referencing oracle: minhash sketches
+    * + band rows (the banding shuffle's exact input; band signatures use
+    * Spark's murmur hash, not reproducible in DuckDB, hence dumped not
+    * re-derived) and the word-3-gram sets for the d4 exact-jaccard
+    * rescore. Every column here must be SCALAR: the driver hashes every
+    * parquet directory it finds in the dump dir, and its pandas
+    * comparator throws on top-level arrays (the round-3 `err` rows) —
+    * so array payloads ship as comma-joined strings and the consuming
+    * oracle SQL re-parses them (`string_split` + CAST). */
   def oracleInputDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d2s_minhash_sketches" -> ((s, dir) =>
-      ocrspark.ops.Dedup.minhashSketches(dedupCorpus(s, dir), "doc_id", "text")),
+      ocrspark.ops.Dedup.minhashSketches(dedupCorpus(s, dir), "doc_id", "text")
+        .select(col("id"),
+          array_join(col("mh").cast("array<string>"), ",").as("mh"))),
     "d2s_minhash_bands" -> ((s, dir) =>
       ocrspark.ops.Dedup.minhashBands(
         ocrspark.ops.Dedup.minhashSketches(dedupCorpus(s, dir),
@@ -585,7 +590,8 @@ object SparkEntry {
     "d4s_ngram_sets" -> ((s, dir) =>
       dedupCorpus(s, dir)
         .select(col("doc_id").as("id"),
-          ocrspark.ops.Dedup.ngramSet(col("text")).as("ng"))))
+          array_join(ocrspark.ops.Dedup.ngramSet(col("text"))
+            .cast("array<string>"), ",").as("ng"))))
 
   /** DuckDB oracle SQL per query (column names MUST match the Spark
     * result — the driver sorts columns by name and hashes values).
@@ -634,7 +640,8 @@ object SparkEntry {
     // n/64 is exact in binary, so no float-compare risk).
     "d2_minhash_pairs" ->
       """WITH sk AS (
-        |  SELECT id, mh
+        |  SELECT id, list_transform(string_split(mh, ','),
+        |    x -> CAST(x AS BIGINT)) AS mh
         |  FROM read_parquet('__OUT__/d2s_minhash_sketches/*.parquet')),
         |bands AS (
         |  SELECT id, band, sig
@@ -669,13 +676,16 @@ object SparkEntry {
     // measure; two empty sets → 1.0 as in the Scala kernel).
     "d4_ngram_jaccard" ->
       """WITH sk AS (
-        |  SELECT id, mh
+        |  SELECT id, list_transform(string_split(mh, ','),
+        |    x -> CAST(x AS BIGINT)) AS mh
         |  FROM read_parquet('__OUT__/d2s_minhash_sketches/*.parquet')),
         |bands AS (
         |  SELECT id, band, sig
         |  FROM read_parquet('__OUT__/d2s_minhash_bands/*.parquet')),
         |ng AS (
-        |  SELECT id, ng
+        |  SELECT id, CASE WHEN ng = '' THEN []::BIGINT[]
+        |    ELSE list_transform(string_split(ng, ','),
+        |      x -> CAST(x AS BIGINT)) END AS ng
         |  FROM read_parquet('__OUT__/d4s_ngram_sets/*.parquet')),
         |sized AS (
         |  SELECT id, band, sig,
