@@ -32,6 +32,59 @@ object Bench {
     * canonical config only (local[32], 80k-doc corpus). */
   val ThroughputFloor = 35000.0
 
+  // ---- in-run noise canary -------------------------------------------
+  // Round 3 recorded a phantom floor FAIL (20.8k docs/s) from a loaded
+  // host window that all three median reps shared; clean re-runs measure
+  // 60-68k. Median-of-N cannot defend against WINDOW-level contamination,
+  // so the bench now times a fixed constant-work CPU canary before and
+  // after the suite, compares it to the pinned quiet-host reference, and
+  // (a) sleep-retries a noisy window before starting, (b) marks the JSON
+  // `window_contaminated` when either measurement exceeds the threshold —
+  // the floor verdict is then explicitly not applicable instead of a
+  // false FAIL.
+
+  /** Canary thread count: pinned (NOT availableProcessors) so the quiet
+    * reference below stays comparable across configs. */
+  val CanaryThreads = 32
+  val CanaryIters = 400000000L // xorshift steps per thread
+  /** Quiet-host wall seconds for ONE canary rep (calibrated on the
+    * canonical 32-core host at 1-min load < 0.5; see BASELINE.md).
+    * Individual reps scatter ±50% even on a quiet shared VM, so every
+    * MEASUREMENT is the median of [[CanaryReps]] reps. */
+  val CanaryQuietSec = 0.95
+  val CanaryReps = 5
+  /** canary/quiet ratio above which the window counts as contaminated. */
+  val NoiseThreshold = 1.5
+  val MaxNoiseRetries = 4
+
+  /** One canary measurement = median of [[CanaryReps]] fixed-work runs. */
+  def canaryMeasure(): Double =
+    median((1 to CanaryReps).map(_ => canarySeconds()))
+
+  private val canarySink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fixed-work CPU canary: `threads` xorshift loops run to completion;
+    * returns wall seconds. Pure arithmetic — no Spark, no allocation —
+    * so the only variable is host CPU contention. */
+  def canarySeconds(threads: Int = CanaryThreads,
+                    iters: Long = CanaryIters): Double = {
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        canarySink.addAndGet(x) // sink: loop cannot be eliminated
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def timed(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = f
@@ -49,6 +102,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", TimedReps.toString).toInt
+    val maxNoiseRetries = sys.env.getOrElse("SPARK_GRAFT_NOISE_RETRIES",
+      MaxNoiseRetries.toString).toInt
+
+    // canary warm-up (JIT the loop), then the pre-suite measurement;
+    // a noisy window gets bounded sleep-and-retry before any timing
+    canarySeconds(iters = CanaryIters / 20)
+    if (sys.env.contains("SPARK_GRAFT_CANARY_ONLY")) {
+      val cs = (1 to 7).map(_ => canarySeconds())
+      println(cs.map(c => f"$c%.3f").mkString("reps=[", ",", "]") +
+        f" median=${median(cs)}%.3f noise=${median(cs) / CanaryQuietSec}%.2f")
+      return
+    }
+    var canaryPre = canaryMeasure()
+    var noiseRetries = 0
+    while (canaryPre / CanaryQuietSec > NoiseThreshold &&
+           noiseRetries < maxNoiseRetries) {
+      System.err.println(
+        f"[bench] noisy window (canary ${canaryPre}%.2fs = " +
+          f"${canaryPre / CanaryQuietSec}%.1fx quiet) — sleeping 15s " +
+          f"(retry ${noiseRetries + 1}/$maxNoiseRetries)")
+      Thread.sleep(15000)
+      canaryPre = canaryMeasure()
+      noiseRetries += 1
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
@@ -160,11 +238,21 @@ object Bench {
       warmTimed(q) { SparkEntry.queries(q)(spark, sfDir).count() }
     }
 
+    // post-suite canary: contamination arriving MID-suite is caught here
+    val canaryPost = canaryMeasure()
+    val noisePre = canaryPre / CanaryQuietSec
+    val noisePost = canaryPost / CanaryQuietSec
+    val contaminated = noisePre > NoiseThreshold || noisePost > NoiseThreshold
+
     val extractSec = results("e2e_extract")
     val docsPerSec = if (extractSec > 0) nDocs / extractSec else 0.0
     // the BASELINE.md floor applies only to the canonical config
-    val canonical = cpus == "32" && replicate == 16
-    val floorPass = !canonical || docsPerSec >= ThroughputFloor
+    // (local[32], replicate 16 → the 80k-doc corpus) measured in a CLEAN
+    // window — a contaminated window's numbers are explicitly
+    // non-adjudicable rather than a phantom FAIL
+    val canonical = cpus == "32" && replicate == 16 && nDocs == 80000
+    val floorApplies = canonical && !contaminated
+    val floorPass = !floorApplies || docsPerSec >= ThroughputFloor
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val repsJson = allReps.map { case (k, v) =>
@@ -172,9 +260,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.sum
     val line =
-      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"timed_reps":$reps,"floor_docs_per_sec":$ThroughputFloor%.0f,"floor_applies":$canonical,"floor_pass":$floorPass}"""
+      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"timed_reps":$reps,"canary_quiet_sec":$CanaryQuietSec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"noise_factor_pre":$noisePre%.2f,"noise_factor_post":$noisePost%.2f,"noise_retries":$noiseRetries,"window_contaminated":$contaminated,"floor_docs_per_sec":$ThroughputFloor%.0f,"floor_applies":$floorApplies,"floor_pass":$floorPass}"""
     println(line)
-    if (canonical)
+    if (contaminated)
+      System.err.println(
+        f"[bench] WINDOW CONTAMINATED (canary pre ${noisePre}%.2fx / post " +
+          f"${noisePost}%.2fx quiet) — throughput numbers not adjudicable")
+    else if (canonical)
       System.err.println(
         f"[bench] throughput floor (BASELINE.md): $docsPerSec%.0f docs/s vs ≥$ThroughputFloor%.0f → ${if (floorPass) "PASS" else "FAIL"}")
     // sbt's logger prefixes forked stdout with [info], which broke the
