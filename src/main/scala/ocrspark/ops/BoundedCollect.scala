@@ -82,6 +82,31 @@ object BoundedCollect {
     def outputEncoder: Encoder[Seq[IdVec]] = ExpressionEncoder()
   }
 
+  case class NbrScore(neighbor_id: Long, cosine: Double)
+  /** Top-k order: best cosine first, ties to the smallest neighbor id —
+    * the same deterministic order the ANN rank step needs, so "cap
+    * smallest under this ordering" IS the top-k set. */
+  private implicit val nbrOrd: Ordering[NbrScore] =
+    Ordering.by(ns => (-ns.cosine, ns.neighbor_id))
+
+  /** Two-phase top-k building block for the ANN paths: map-side partial
+    * aggregation keeps the best k (buffer ≤ 2k) per query per partition,
+    * so the shuffle carries ≤ k×partitions rows per query and NO task
+    * ever holds a query's full scored set — unlike a rank window over
+    * `partitionBy(query_id)`, which funnels every scored row of a query
+    * into one task (the 100 TB scale-killer this replaces). `finish`
+    * returns the top k already in rank order. */
+  class TopKNbrs(k: Int)
+      extends Aggregator[NbrScore, Seq[NbrScore], Seq[NbrScore]] {
+    def zero: Seq[NbrScore] = Vector.empty
+    def reduce(b: Seq[NbrScore], a: NbrScore): Seq[NbrScore] = append(b, a, k)
+    def merge(x: Seq[NbrScore], y: Seq[NbrScore]): Seq[NbrScore] =
+      mergeTrim(x, y, k)
+    def finish(b: Seq[NbrScore]): Seq[NbrScore] = fin(b, k)
+    def bufferEncoder: Encoder[Seq[NbrScore]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[NbrScore]] = ExpressionEncoder()
+  }
+
   /** Column aggregates, ready for `groupBy(...).agg(...)`. */
   def boundedIds(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     functions.udaf(new BoundedLongs(cap), ExpressionEncoder[Long]())
@@ -89,4 +114,6 @@ object BoundedCollect {
     functions.udaf(new BoundedIdSh(cap), ExpressionEncoder[IdSh]())
   def boundedIdVec(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     functions.udaf(new BoundedIdVec(cap), ExpressionEncoder[IdVec]())
+  def topKNbrs(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    functions.udaf(new TopKNbrs(k), ExpressionEncoder[NbrScore]())
 }

@@ -1,7 +1,6 @@
 package ocrspark.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -85,6 +84,25 @@ object Similarity {
   def probeBuckets(vec: Column, planes: Int): Column =
     udf((v: Seq[Float]) => probeBucketsImpl(v, planes)).apply(vec)
 
+  /** Two-phase rank step shared by every ANN path: per-partition local
+    * top-k via the bounded [[BoundedCollect.TopKNbrs]] aggregator
+    * (map-side partial aggregation — each task keeps ≤ 2k candidates
+    * per query), then a merge of the ≤ k×partitions survivors. The old
+    * `row_number().over(partitionBy("query_id"))` window funneled a
+    * query's ENTIRE scored set into one task — for brute force at
+    * 100 TB that is the whole corpus through |queries| tasks. `finish`
+    * emits the top k already ordered, so rank = position + 1. Input:
+    * (query_id, neighbor_id, cosine). */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(BoundedCollect.topKNbrs(k)(col("neighbor_id"), col("cosine"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nc")))
+      .select(col("query_id"),
+        col("nc.neighbor_id").as("neighbor_id"),
+        col("nc.cosine").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact brute-force cosine top-k for each query id. Output:
     * (query_id, neighbor_id, cosine, rank), rank 1..k, deterministic
     * tiebreak on neighbor id. */
@@ -97,10 +115,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineUdf(col("qv"), col("nv")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(joined, k)
   }
 
   /** LSH-bucketed approximate top-k: queries probe their own bucket and
@@ -119,10 +134,7 @@ object Similarity {
         round(cosineUdf(col("qv"), col("nv")), 6).as("cosine"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine")) // dedupe multi-probe hits
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(joined, k)
   }
 
   // ------------------------------------------------------------------
@@ -232,9 +244,6 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineUdf(col("qv"), col("nv")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(joined, k)
   }
 }

@@ -143,6 +143,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN rank step is two-phase top-k: no per-query global window, partial agg before the shuffle") {
+    // A `row_number over partitionBy(query_id)` window funnels a query's
+    // ENTIRE scored set into one task — for brute force at 100 TB that is
+    // the whole corpus through |queries| tasks. The two-phase shape keeps
+    // a bounded top-k aggregator map-side, so the shuffle carries at most
+    // k×partitions rows per query.
+    import ocrspark.ops.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    for ((name, df) <- Seq(
+      "brute" -> Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5),
+      "lsh" -> Similarity.lshTopK(emb, "vec_id", "embedding", qids, 5),
+      "ivf" -> Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 5))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), s"$name still ranks via a window\n$plan")
+      // the udaf runs as ObjectHashAggregate/SortAggregate with a partial
+      // (map-side) pass before the exchange
+      val aggs = plan.linesIterator.count(l =>
+        l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+      assert(aggs >= 2, s"$name: expected partial+final top-k aggregate\n$plan")
+    }
+  }
+
   test("LSH candidate generation has no self-join and no sort-merge join") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
