@@ -253,6 +253,23 @@ object SparkEntry {
 
   // ---- training-data pipeline ops (dedup / ANN / text analysis) ------
 
+  /** The d5 corpus (embeddings ∪ 50 perturbed copies) and its
+    * corpus-adaptive plane count — shared by the d5 query and the
+    * d5s_corpus oracle dump so both see the identical bucketing. The
+    * plane count sizes to the corpus (floor 16 keeps small-scale
+    * behavior identical; ~35 planes at 10^12 docs) and counts the BASE
+    * parquet (metadata-only statistics pushdown) rather than the
+    * union — the +50 planted rows can't change a log2. */
+  private def d5CorpusAndPlanes(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(0.001f)).cast("float"))
+          .as("embedding"))
+    (emb.unionAll(planted), ocrspark.ops.Dedup.adaptivePlanes(emb.count() + 50))
+  }
+
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame =
     ocrspark.ops.DedupCorpus.withPlantedDups(
       docs(s, dir).select(col("doc_id"), col("text"), col("lang")))
@@ -306,19 +323,11 @@ object SparkEntry {
     // D5: embedding-cosine near-dup via sign-LSH buckets. Near-dups are
     // planted Spark-side (deterministic transform, no driver collect):
     // vec_id < 50 each get a +0.001-perturbed copy at vec_id + 10000.
+    // DuckDB-verified: the d5s_corpus dump carries (id, bucket, vector)
+    // and the oracle re-derives bucket sizing, in-cap all-pairs vs
+    // over-cap keeper star, and the cosine threshold in SQL.
     "d5_embed_neardup" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 10000L).as("vec_id"),
-          transform(col("embedding"), x => (x + lit(0.001f)).cast("float"))
-            .as("embedding"))
-      val corpus = emb.unionAll(planted)
-      // plane count sized to the corpus (floor 16 keeps small-scale
-      // behavior identical); at 10^12 docs this is ~35 planes. Count
-      // the BASE parquet (metadata-only statistics pushdown) rather
-      // than the union — the +50 planted rows can't change a log2.
-      val planes = ocrspark.ops.Dedup.adaptivePlanes(emb.count() + 50)
+      val (corpus, planes) = d5CorpusAndPlanes(s, dir)
       ocrspark.ops.Dedup.embeddingNearDups(
           corpus, "vec_id", "embedding", 0.99, planes)
         .orderBy(col("id_a"), col("id_b"))
@@ -591,7 +600,43 @@ object SparkEntry {
       dedupCorpus(s, dir)
         .select(col("doc_id").as("id"),
           array_join(ocrspark.ops.Dedup.ngramSet(col("text"))
-            .cast("array<string>"), ",").as("ng"))))
+            .cast("array<string>"), ",").as("ng"))),
+    // ANN oracle inputs: bucket/cell assignments + query probe lists
+    // (the UDF-hashed parts the SQL engine cannot reproduce); scoring
+    // and ranking downstream are re-derived in DuckDB from these plus
+    // the embeddings table itself.
+    "s3s_buckets" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          ocrspark.ops.Similarity.hyperplaneBucket(col("embedding"), 6)
+            .as("bucket"))),
+    "s3s_probes" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+        .select(col("vec_id").as("query_id"),
+          array_join(ocrspark.ops.Similarity.probeBuckets(col("embedding"), 6)
+            .cast("array<string>"), ",").as("probes"))),
+    "s4s_cells" -> ((s, dir) =>
+      ocrspark.ops.Similarity.ivfCells(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        nCells = 16, iters = 4)),
+    "s4s_probes" -> ((s, dir) =>
+      ocrspark.ops.Similarity.ivfProbes(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L, 4L), nCells = 16, nProbe = 4, iters = 4)
+        .select(col("query_id"),
+          array_join(col("cells").cast("array<string>"), ",").as("cells"))),
+    // d5's corpus includes 50 planted vectors that exist in no table, so
+    // the vectors ride along as comma-joined FLOAT strings (Float
+    // .toString round-trips exactly; the oracle re-casts via FLOAT
+    // before widening to DOUBLE so cosine sees bit-identical inputs).
+    "d5s_corpus" -> ((s, dir) => {
+      val (corpus, planes) = d5CorpusAndPlanes(s, dir)
+      corpus.select(col("vec_id").as("id"),
+        ocrspark.ops.Similarity.hyperplaneBucket(col("embedding"), planes)
+          .as("bucket"),
+        array_join(col("embedding").cast("array<string>"), ",").as("v"))
+    }))
 
   /** DuckDB oracle SQL per query (column names MUST match the Spark
     * result — the driver sorts columns by name and hashes values).
@@ -1046,5 +1091,132 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    // s3 re-derived from the dumped bucket assignments + probe lists:
+    // probe-join candidate generation, multiprobe dedup (DISTINCT —
+    // cosine per pair is probe-independent, so DISTINCT ≡ Spark's
+    // groupBy-max), exact cosine from the embeddings table, rank ≤ k.
+    "s3_lsh_topk" ->
+      """WITH cb AS (
+        |  SELECT id, bucket
+        |  FROM read_parquet('__OUT__/s3s_buckets/*.parquet')),
+        |qp AS (
+        |  SELECT query_id,
+        |    CAST(unnest(string_split(probes, ',')) AS BIGINT) AS bucket
+        |  FROM read_parquet('__OUT__/s3s_probes/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT qp.query_id, cb.id AS neighbor_id
+        |  FROM qp JOIN cb USING (bucket)
+        |  WHERE cb.id <> qp.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    ROUND(list_cosine_similarity(
+        |      CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])),
+        |      6) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.query_id
+        |  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s4 re-derived from the dumped cell assignments + probe lists (no
+    // DISTINCT: k-means cells are disjoint, so a neighbor appears in at
+    // most one probed cell — same as the Spark plan, which has no dedup).
+    "s4_ivf_topk" ->
+      """WITH cc AS (
+        |  SELECT id, cell
+        |  FROM read_parquet('__OUT__/s4s_cells/*.parquet')),
+        |qp AS (
+        |  SELECT query_id,
+        |    CAST(unnest(string_split(cells, ',')) AS INT) AS cell
+        |  FROM read_parquet('__OUT__/s4s_probes/*.parquet')),
+        |scored AS (
+        |  SELECT qp.query_id, cc.id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(
+        |      CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])),
+        |      6) AS cosine
+        |  FROM qp JOIN cc USING (cell)
+        |  JOIN embeddings q ON q.vec_id = qp.query_id
+        |  JOIN embeddings n ON n.vec_id = cc.id
+        |  WHERE cc.id <> qp.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // d5 re-derived from the dumped (id, bucket, vector) corpus: bucket
+    // sizing, in-cap all-pairs vs over-cap member→keeper star (keeper =
+    // min id, cap 64 as in Dedup.MaxBucketSize), cosine in DOUBLE over
+    // exact FLOAT values (CAST via FLOAT first — a direct
+    // string→DOUBLE cast would diverge from the float the engine saw),
+    // floor-half-up rounding, threshold 0.99.
+    "d5_embed_neardup" ->
+      """WITH c AS (
+        |  SELECT id, bucket,
+        |    list_transform(string_split(v, ','),
+        |      x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
+        |  FROM read_parquet('__OUT__/d5s_corpus/*.parquet')),
+        |sized AS (
+        |  SELECT id, bucket, v,
+        |    count(*) OVER (PARTITION BY bucket) AS n,
+        |    min(id)  OVER (PARTITION BY bucket) AS keeper,
+        |    first_value(v) OVER (PARTITION BY bucket ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS keeper_v
+        |  FROM c),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6
+        |      AS cosine
+        |  FROM sized a JOIN sized b
+        |    ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE a.n BETWEEN 2 AND 64
+        |  UNION ALL
+        |  SELECT keeper AS id_a, id AS id_b,
+        |    floor(list_cosine_similarity(keeper_v, v) * 1e6 + 0.5) / 1e6
+        |      AS cosine
+        |  FROM sized WHERE n > 64 AND id <> keeper)
+        |SELECT id_a, id_b, max(cosine) AS cosine FROM pairs
+        |WHERE cosine >= 0.99
+        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    // a5 re-derived from the e2e_extract dump: the batch counters are a
+    // pure aggregation over the per-doc extraction output, so DuckDB
+    // recomputing them from the dumped rows cross-checks the metrics
+    // stage against the extraction stage.
+    "a5_batch_summary" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS successful,
+        |  CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS failed,
+        |  CAST(sum(CASE WHEN route = 'text_extraction' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS route_text,
+        |  CAST(sum(CASE WHEN route = 'hybrid' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS route_hybrid,
+        |  CAST(sum(CASE WHEN route = 'ocr' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS route_ocr,
+        |  CAST(sum(CASE WHEN method = 'html_extraction' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS route_html,
+        |  CAST(sum(CAST(pages AS BIGINT)) AS BIGINT) AS total_pages,
+        |  round(avg(confidence), 4) AS avg_confidence
+        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')""".stripMargin,
+    // o12 re-derived from the e2e_extract dump: lineage must show
+    // snapshot 1 for buckets <20 (committed by the first partial run), 2
+    // for the rest, and per-bucket doc counts equal to the extraction
+    // output's bucket histogram — an independent derivation because o12
+    // runs its own two-phase incremental job against the lake while
+    // e2e_extract is a one-shot batch over the same pages.
+    "o12_resume_lineage" ->
+      """SELECT bucket,
+        |  CAST(CASE WHEN bucket < 20 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS snapshot_id,
+        |  count(*) AS n_docs
+        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -222,6 +222,30 @@ object Similarity {
     centroids
   }
 
+  /** Corpus cell assignments from the deterministic coarse quantizer —
+    * exposed so the s4 oracle can dump them and re-derive candidate
+    * generation + scoring + ranking in SQL (the quantizer itself is
+    * sbt-verified; re-deriving float-precision argmin cross-engine
+    * would be a tie-break lottery). Same (nCells, iters) ⇒ same
+    * centroids as [[ivfTopK]] (Lloyd's here is RNG-free). */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, iters: Int = 4): DataFrame = {
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val assign = udf((v: Seq[Float]) => nearestCell(v, centroids))
+    emb.select(col(idCol).as("id"), assign(col(vecCol)).as("cell"))
+  }
+
+  /** Per-query probed cells (nearest `nProbe` centroids), for the same
+    * oracle dump as [[ivfCells]]. */
+  def ivfProbes(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], nCells: Int = 16, nProbe: Int = 4,
+                iters: Int = 4): DataFrame = {
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val probes = udf((v: Seq[Float]) => nearestCells(v, centroids, nProbe))
+    emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), probes(col(vecCol)).as("cells"))
+  }
+
   /** IVF approximate top-k: the corpus is partitioned into `nCells`
     * k-means cells (one assignment pass; the coarse quantizer ships in
     * task closures — k×d floats); each query probes its `nProbe`
