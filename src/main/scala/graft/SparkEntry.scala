@@ -492,10 +492,14 @@ object SparkEntry {
     }),
 
     // M1: multimodal metadata over the pages table's binary payloads
-    // (decode kernel stubbed — no codecs in sandbox; plumbing real).
+    // plus a synthesized WAV/MP4 cohort (negative ids) — every metadata
+    // field is a real pure-JDK header parse (PNG/JPEG/GIF/BMP dims, PDF
+    // pages, WAV frames+duration, MP4 duration); only pixel/sample
+    // decode is out of scope (no codecs in sandbox).
     "m1_media_meta" -> ((s, dir) => {
       val pages = ocrspark.job.Synth.pagesDF(s, dir)
         .select(xxhash64(col("url")).as("id"), col("html"))
+        .unionAll(ocrspark.job.Synth.avMediaDF(s, 8))
       ocrspark.ops.Multimodal.withMediaMetadata(pages, "id", "html")
         .orderBy(col("id"))
     }),
@@ -506,6 +510,7 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, dir) => {
       val pages = ocrspark.job.Synth.pagesDF(s, dir)
         .select(xxhash64(col("url")).as("id"), col("html"))
+        .unionAll(ocrspark.job.Synth.avMediaDF(s, 8))
       val meta = ocrspark.ops.Multimodal.withMediaMetadata(pages, "id", "html")
       // metadata rides through the frame explode — one decode pass,
       // no self-join back to the media table

@@ -265,6 +265,102 @@ object Synth {
       html, upstream, lang)
   }
 
+  // ---- audio/video cohort (multimodal metadata queries) -------------
+
+  /** Closed-form WAV spec for cohort member i: 8 kHz mono 16-bit PCM,
+    * frames a multiple of 8 so durationMs = frames/8 exactly. Tests can
+    * hand-compute: (sampleFrames, durationMs). */
+  def wavSpec(i: Long): (Int, Long) = {
+    val frames = 800 + (i % 16).toInt * 400
+    (frames, frames / 8L)
+  }
+
+  /** Deterministic PCM WAV: real RIFF/fmt/data chunks carrying
+    * [[wavSpec]]'s geometry; sample payload is SplitMix64 filler (the
+    * samples are never decoded — header metadata only). */
+  def wavFor(i: Long): Array[Byte] = {
+    val (frames, _) = wavSpec(i)
+    val dataBytes = frames * 2 // mono 16-bit
+    val out = new Array[Byte](44 + dataBytes)
+    def w32le(o: Int, v: Long): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+      out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+    }
+    def w16le(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      (0 until 4).foreach(j => out(o + j) = s(j).toByte)
+    tag(0, "RIFF"); w32le(4, 36L + dataBytes); tag(8, "WAVE")
+    tag(12, "fmt "); w32le(16, 16)
+    w16le(20, 1) // PCM
+    w16le(22, 1) // mono
+    w32le(24, 8000) // sample rate
+    w32le(28, 16000) // byte rate
+    w16le(32, 2) // block align
+    w16le(34, 16) // bits/sample
+    tag(36, "data"); w32le(40, dataBytes)
+    var x = i * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    var j = 44
+    while (j < out.length) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      out(j) = x.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Closed-form MP4 duration (ms) for cohort member i. */
+  def mp4DurationMs(i: Long): Long = 100L * (i % 50 + 5)
+
+  /** Deterministic minimal MP4: ftyp + moov(mvhd v0 with timescale 600
+    * and duration 600·durationMs/1000) + an mdat filler box. */
+  def mp4For(i: Long): Array[Byte] = {
+    val mdat = 256
+    val out = new Array[Byte](16 + 116 + 8 + mdat)
+    def w32be(o: Int, v: Long): Unit = {
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      (0 until 4).foreach(j => out(o + j) = s(j).toByte)
+    w32be(0, 16); tag(4, "ftyp"); tag(8, "isom"); w32be(12, 0)
+    w32be(16, 116); tag(20, "moov")
+    w32be(24, 108); tag(28, "mvhd") // v0 mvhd is 108 bytes
+    // +8 version/flags = 0; creation/modification 0
+    w32be(44, 600) // timescale (ticks/sec)
+    w32be(48, mp4DurationMs(i) * 600 / 1000) // duration in ticks
+    w32be(52, 0x00010000L) // rate 1.0
+    // volume/reserved/matrix/predefined stay 0; next_track_id:
+    w32be(128, 2)
+    w32be(132, mdat + 8L); tag(136, "mdat")
+    var x = i * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    var j = 140
+    while (j < out.length) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      out(j) = x.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Auxiliary a/v media table for the multimodal queries: `n` WAV and
+    * `n` MP4 payloads under negative ids (disjoint from the pages
+    * table's xxhash64 ids), built distributed — no driver-side byte
+    * arrays. Unioned with the pages-derived media in m1/m2 so the
+    * metadata engine is exercised on every container it parses. */
+  def avMediaDF(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n.toLong * 2)
+      .as[Long]
+      .map { i =>
+        val id = -(i + 1) // negative: never collides with xxhash64(url)
+        val bytes = if (i % 2 == 0) wavFor(i / 2) else mp4For(i / 2)
+        (id, bytes)
+      }
+      .toDF("id", "html")
+  }
+
   /** The pages table as a DataFrame, synthesized lazily from
     * `{sfDir}/documents.parquet`. Column pruning still applies upstream
     * (only doc_id/text/lang are read). `replicate` fans each document

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Metadata extraction is REAL for every format whose header is
   * parseable in pure JDK: PNG (IHDR), GIF (logical screen descriptor),
-  * BMP (info/core header), JPEG (SOF segment scan), and PDF (page count
-  * via the engine's own parser). Full pixel/sample decode needs codecs
-  * that are NOT in this sandbox, so only audio/video metadata beyond
-  * the container sniff remains a clearly marked DETERMINISTIC STUB
-  * ([[avStub]]). The Spark plumbing — schema, batch iteration shape
-  * (mapPartitions ≈ mapInPandas batches), partitioning, the explode for
-  * frame sampling — is production shaped throughout.
+  * BMP (info/core header), JPEG (SOF segment scan), PDF (page count via
+  * the engine's own parser), WAV (RIFF fmt/data chunk walk → sample
+  * frames + duration), and MP4 (moov/mvhd walk → duration). Full
+  * pixel/sample decode needs codecs that are NOT in this sandbox;
+  * fields a header genuinely doesn't carry (AVI without a demuxer, MP4
+  * frame count without a per-track stts walk) report honest zeros,
+  * never fabricated values. The Spark plumbing — schema, batch
+  * iteration shape (mapPartitions ≈ mapInPandas batches), partitioning,
+  * the explode for frame sampling — is production shaped throughout.
   */
 object Multimodal {
 
@@ -86,19 +88,81 @@ object Multimodal {
     None
   }
 
-  /** ======= STUB (no audio/video codecs in sandbox) =======
-    * Deterministic fabricated frame/duration metadata for audio/video
-    * containers — replace with a real demuxer (ffmpeg/JavaCV) outside
-    * this sandbox. Still images and PDFs never come through here. */
-  private def avStub(h: Long): (Int, Long) = {
-    val frames = 1 + math.floorMod(h >> 16, 32).toInt
-    (frames, frames * 40L)
+  /** WAV (RIFF/WAVE) header walk: chunks are [4cc][u32le size][payload,
+    * even-padded] from offset 12. The `fmt ` chunk carries byte rate and
+    * block align; `data` carries the sample payload size — duration is
+    * dataBytes·1000/byteRate, frame count dataBytes/blockAlign (sample
+    * frames, the audio analog of video frames). Declared sizes are
+    * header metadata, so a truncated payload still reports its declared
+    * duration — same stance as a real demuxer reading header fields.
+    * Returns (sampleFrames, durationMs); None when fmt/data are missing
+    * or degenerate. */
+  private[ops] def wavMeta(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 12 || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var byteRate = 0L
+    var blockAlign = 0L
+    var dataBytes = -1L
+    var i = 12L
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val off = i.toInt
+      val size = le32(b, off + 4)
+      if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' &&
+        b(off + 3) == ' ' && size >= 16 && i + 8 + 16 <= b.length) {
+        byteRate = le32(b, off + 16)
+        blockAlign = le16(b, off + 20).toLong
+      } else if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' &&
+        b(off + 3) == 'a') {
+        dataBytes = size
+      }
+      i += 8 + size + (size & 1) // chunks are even-padded
+      // a declared size running past the buffer = truncated final chunk:
+      // end the walk, the fields read so far still count
+      if (i > b.length) done = true
+    }
+    if (byteRate <= 0 || blockAlign <= 0 || dataBytes < 0) None
+    else Some((dataBytes / blockAlign, dataBytes * 1000L / byteRate))
+  }
+
+  /** ISO-BMFF (MP4) box walk to `moov/mvhd`: boxes are [u32be size]
+    * [4cc]; mvhd v0 holds timescale at +20 and duration at +24, v1
+    * (64-bit times) at +28/+32. Duration is mvhd duration·1000/
+    * timescale ms. Returns None when moov/mvhd is absent/truncated. */
+  private[ops] def mp4Meta(b: Array[Byte]): Option[Long] = {
+    def findBox(tag: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(b, i)
+        if (size < 8) return None // size 0/1 (to-eof, largesize) unsupported
+        if (b(i + 4) == tag(0) && b(i + 5) == tag(1) &&
+          b(i + 6) == tag(2) && b(i + 7) == tag(3))
+          return Some((i, math.min(to.toLong, i + size).toInt))
+        i += size.toInt
+      }
+      None
+    }
+    for {
+      (moov, moovEnd) <- findBox("moov", 0, b.length)
+      (mv, mvEnd) <- findBox("mvhd", moov + 8, moovEnd)
+      version = u8(b, mv + 8)
+      tsOff = if (version == 1) mv + 28 else mv + 20
+      need = tsOff + (if (version == 1) 12 else 8) // u64 duration in v1
+      if mvEnd >= need && b.length >= need
+      timescale = be32(b, tsOff)
+      if timescale > 0
+      duration = if (version == 1)
+        (be32(b, tsOff + 4) << 32) | be32(b, tsOff + 8)
+      else be32(b, tsOff + 4)
+    } yield duration * 1000L / timescale
   }
 
   /** Decode the payload's typed metadata: container kind from magic
-    * bytes, then a REAL header parse per format (see object doc). An
-    * image whose header is truncated/corrupt reports 0×0 — honest
-    * unknown, never fabricated. */
+    * bytes, then a REAL header parse per format (see object doc). A
+    * payload whose header is truncated/corrupt reports 0×0 / zero
+    * duration — honest unknown, never fabricated. (The name is
+    * historical: only pixel/sample decode remains out of scope, because
+    * the sandbox has no codecs; every metadata field is parsed.) */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length == 0)
       return MediaMeta("empty", 0, 0, 0, 0L, 0L, 0L)
@@ -113,7 +177,15 @@ object Multimodal {
       else if (bytes.length >= 4 && ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == '*') ||
         (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0))) "image/tiff"
       else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
-      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') "audio/wav"
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F') {
+        // RIFF form type at 8-11 distinguishes the container
+        if (bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V') "audio/wav"
+        else if (bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I') "video/avi"
+        else "application/octet-stream"
+      }
+      else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') "video/mp4"
       else if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P') "application/pdf"
       else "application/octet-stream"
     kind match {
@@ -134,9 +206,17 @@ object Multimodal {
           .fold(_ => 0, _.pageCount)
         MediaMeta(kind, 0, 0, pages, 0L, bytes.length.toLong, h)
       case "audio/wav" =>
-        val (frames, dur) = avStub(h) // STUB: no codecs in sandbox
-        MediaMeta(kind, 0, 0, frames, dur, bytes.length.toLong, h)
-      case _ =>
+        // real RIFF walk: sample frames + declared-data duration
+        val (frames, dur) = wavMeta(bytes).getOrElse((0L, 0L))
+        MediaMeta(kind, 0, 0,
+          math.min(frames, Int.MaxValue.toLong).toInt, dur,
+          bytes.length.toLong, h)
+      case "video/mp4" =>
+        // real moov/mvhd walk; frame count needs a per-track stts walk
+        // the container header alone doesn't give — honest 0
+        MediaMeta(kind, 0, 0, 0, mp4Meta(bytes).getOrElse(0L),
+          bytes.length.toLong, h)
+      case _ => // avi (no demuxer), tiff tail, unknown: honest zeros
         MediaMeta(kind, 0, 0, 0, 0L, bytes.length.toLong, h)
     }
   }

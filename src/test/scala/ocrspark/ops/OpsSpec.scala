@@ -393,6 +393,66 @@ class OpsSpec extends AnyFunSuite {
       m.n_frames == 1)
   }
 
+  test("wav metadata: real RIFF walk — sample frames and duration from fmt/data") {
+    // synth cohort: closed-form geometry (8 kHz mono 16-bit, frames%8==0)
+    for (i <- 0L until 16L) {
+      val (frames, durMs) = ocrspark.job.Synth.wavSpec(i)
+      val m = Multimodal.decodeStub(ocrspark.job.Synth.wavFor(i))
+      assert(m.kind == "audio/wav" && m.n_frames == frames &&
+        m.duration_ms == durMs, s"wav $i: $m")
+    }
+    // hand-built: 16 kHz stereo 16-bit (byteRate 64000, blockAlign 4),
+    // 32000 data bytes → 8000 frames, 500 ms
+    val wav = ocrspark.job.Synth.wavFor(0L)
+    val hand = java.util.Arrays.copyOf(wav, 44 + 32000)
+    def w32le(o: Int, v: Long): Unit = {
+      hand(o) = v.toByte; hand(o + 1) = (v >>> 8).toByte
+      hand(o + 2) = (v >>> 16).toByte; hand(o + 3) = (v >>> 24).toByte
+    }
+    w32le(24, 16000); w32le(28, 64000)
+    hand(32) = 4; hand(33) = 0
+    w32le(40, 32000)
+    assert(Multimodal.wavMeta(hand).contains((8000L, 500L)))
+    // declared data size beyond the buffer (truncated upload) still
+    // reports the declared duration — header metadata, demuxer stance
+    assert(Multimodal.wavMeta(java.util.Arrays.copyOf(wav, 100))
+      .contains({ val (f, d) = ocrspark.job.Synth.wavSpec(0L); (f.toLong, d) }))
+    // headerless RIFF junk is an honest unknown
+    val junk = "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](20)(0x7F)
+    assert(Multimodal.wavMeta(junk).isEmpty)
+    assert(Multimodal.decodeStub(junk).duration_ms == 0L)
+  }
+
+  test("mp4 metadata: real moov/mvhd walk — duration from timescale ticks") {
+    for (i <- 0L until 16L) {
+      val m = Multimodal.decodeStub(ocrspark.job.Synth.mp4For(i))
+      assert(m.kind == "video/mp4" &&
+        m.duration_ms == ocrspark.job.Synth.mp4DurationMs(i), s"mp4 $i: $m")
+      assert(m.n_frames == 0) // no stts walk: honest unknown, not a guess
+    }
+    // truncation before moov → honest zero duration
+    val cut = java.util.Arrays.copyOf(ocrspark.job.Synth.mp4For(0L), 16)
+    assert(Multimodal.mp4Meta(cut).isEmpty)
+    assert(Multimodal.decodeStub(cut).kind == "video/mp4")
+    // mvhd v1 (64-bit creation/modification times): duration at +32
+    val v1 = new Array[Byte](8 + 8 + 120)
+    def w32be(a: Array[Byte], o: Int, v: Long): Unit = {
+      a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte
+      a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte
+    }
+    def tag(a: Array[Byte], o: Int, s: String): Unit =
+      (0 until 4).foreach(j => a(o + j) = s(j).toByte)
+    w32be(v1, 0, 8 + 128); tag(v1, 4, "moov")
+    w32be(v1, 8, 120); tag(v1, 12, "mvhd"); v1(16) = 1 // version 1
+    w32be(v1, 36, 1000) // timescale at mvhd+28
+    w32be(v1, 40, 0); w32be(v1, 44, 2500) // u64 duration at mvhd+32
+    assert(Multimodal.mp4Meta(v1).contains(2500L))
+    // RIFF form types route correctly: AVI is sniffed but not demuxed
+    val avi = "RIFF0000AVI LIST".getBytes
+    assert(Multimodal.decodeStub(avi).kind == "video/avi")
+    assert(Multimodal.decodeStub(avi).duration_ms == 0L)
+  }
+
   test("pdf metadata: n_frames is the true page count") {
     val pdf = ocrspark.job.Synth.textPdfFor(8L, "contenido de prueba " * 50)
     val pages = ocrspark.parse.PdfExtract.parse(pdf, 0)
