@@ -130,6 +130,18 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // P5c: routing-decision counts from the ANALYZE kernel — the oracle
+    // re-derives the same counts in DuckDB from the dumped e2e_extract
+    // output, cross-checking the cheap routing fast path against the
+    // full extraction path's per-doc route (their per-url agreement is
+    // pinned by ExtractSpec; this makes it a driver-adjudicated green).
+    "p5c_routing_counts" -> ((s, dir) => {
+      ocrspark.job.ExtractJob
+        .analyzeOnly(ocrspark.job.Synth.pagesDF(s, dir))
+        .groupBy(col("route")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("route"))
+    }),
+
     // A5: batch summary counters (the reference's resumen_lote analog).
     "a5_batch_summary" -> ((s, dir) => {
       ocrspark.job.ExtractJob
@@ -420,6 +432,24 @@ object SparkEntry {
       val rest = events.filter(col("event_type") =!= "error")
         .select(col("event_id"), col("user_id"), col("ts"))
       ocrspark.ops.AsOfJoin.asOf(rest, errors, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof.event_id").as("last_error_id"),
+          col("asof.value").as("last_error_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J2R: the same as-of join through the hot-key-safe ranged variant
+    // (1-hour splits): identical semantics — the SAME DuckDB ASOF oracle
+    // must match — but the window shuffle key is (user, hour) so one
+    // pathological user can never funnel into a single task.
+    "j2r_asof_ranged" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val rest = events.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      ocrspark.ops.AsOfJoin.asOfRanged(rest, errors, "user_id", "ts",
+          3600L * 1000000L)
         .select(col("event_id"), col("user_id"),
           col("asof.event_id").as("last_error_id"),
           col("asof.value").as("last_error_value"))
@@ -886,6 +916,17 @@ object SparkEntry {
         |                WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // j2r is semantically IDENTICAL to j2 (the ranged split is purely a
+    // physical-plan change) — same oracle, independently matched.
+    "j2r_asof_ranged" ->
+      """SELECT l.event_id, l.user_id,
+        |  r.event_id AS last_error_id, r.value AS last_error_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |                WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     // Full SQL re-derivation of the winnowing fingerprint
     // (TextOps.fingerprintImpl): ws-normalize + lower, 8-gram
     // Rabin-Karp hashes computed positionally as polynomials mod 2^64
@@ -1189,6 +1230,12 @@ object SparkEntry {
         |SELECT id_a, id_b, max(cosine) AS cosine FROM pairs
         |WHERE cosine >= 0.99
         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    // p5c re-derived from the e2e_extract dump: the analyze fast path's
+    // route counts must equal the full extraction's per-doc routes.
+    "p5c_routing_counts" ->
+      """SELECT route, count(*) AS n_docs
+        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')
+        |GROUP BY route ORDER BY route""".stripMargin,
     // a5 re-derived from the e2e_extract dump: the batch counters are a
     // pure aggregation over the per-doc extraction output, so DuckDB
     // recomputing them from the dumped rows cross-checks the metrics

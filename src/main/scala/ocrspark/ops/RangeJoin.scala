@@ -22,17 +22,29 @@ object RangeJoin {
     * micros). `binWidth` MUST be ≥ the longest interval so an interval
     * spans at most 2 bins; values must be non-negative (epoch time).
     * Output: point columns + interval columns (names must not clash
-    * apart from `keyCol`). */
+    * apart from `keyCol`).
+    *
+    * `maxBins` guards the symmetric corruption to an inverted interval:
+    * one row with an absurd end bound (a year-9999 timestamp) would
+    * explode into hundreds of millions of ascending bins. An interval
+    * spanning more than `maxBins` bins violates the binWidth contract
+    * (legit intervals span ≤ 2) and is treated exactly like an inverted
+    * one — corrupt data, zero matches. The default leaves 2× slack over
+    * the contract so a marginally mis-sized binWidth degrades to extra
+    * bin rows, not dropped data. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCol: String, pCol: String,
                       startCol: String, endCol: String,
-                      binWidth: Long): DataFrame = {
+                      binWidth: Long, maxBins: Int = 4): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBins >= 2, "maxBins must allow the contract's 2-bin span")
     // guard inverted intervals: sequence(start, stop) defaults to step
     // -1 when start > stop, so one corrupted row with swapped bounds
     // would explode into millions of descending bins; the correct
     // semantics for an empty interval is zero matches
     val ivl = intervals.filter(col(endCol) >= col(startCol))
+      .filter(floor(col(endCol) / binWidth).cast("long") -
+        floor(col(startCol) / binWidth).cast("long") < lit(maxBins.toLong))
       .withColumn("__bin",
         explode(sequence(floor(col(startCol) / binWidth).cast("long"),
           floor(col(endCol) / binWidth).cast("long"))))

@@ -141,15 +141,31 @@ object StreamExtract {
     * number of batches later emits nothing. flatMapGroupsWithState is
     * used (not dropDuplicates) so the keeper choice — smallest id within
     * the batch, first-batch-wins across batches — is explicit and
-    * testable. */
-  def dedupFirstSeen(
+    * testable.
+    *
+    * `ttlMs`: optional idle-state TTL. Without it the number of distinct
+    * content hashes — and so the state store — grows without bound over
+    * an unbounded stream. With it, a hash idle for `ttlMs` of processing
+    * time is evicted, and a duplicate arriving AFTER eviction is
+    * re-admitted (re-emitted) — the documented trade: bounded state for
+    * at-most-once-per-TTL-window dedup, the standard windowed-dedup
+    * semantics at web scale. Every arrival re-arms its group's timer. */
+  def dedupFirstSeen(ttlMs: Option[Long] = None)(
       key: String, rows: Iterator[DocEvent],
       state: GroupState[Long]): Iterator[DocEvent] = {
-    if (state.exists || !rows.hasNext) Iterator.empty
-    else {
-      val keeper = rows.minBy(_.doc_id)
-      state.update(keeper.doc_id)
-      Iterator.single(keeper)
+    if (state.hasTimedOut) { // idle TTL elapsed: evict
+      state.remove()
+      Iterator.empty
+    } else {
+      val out =
+        if (state.exists || !rows.hasNext) Iterator.empty[DocEvent]
+        else {
+          val keeper = rows.minBy(_.doc_id)
+          state.update(keeper.doc_id)
+          Iterator.single(keeper)
+        }
+      if (state.exists) ttlMs.foreach(state.setTimeoutDuration)
+      out
     }
   }
 
@@ -165,25 +181,39 @@ object StreamExtract {
     * — the streaming analog of the batch over-cap member→keeper star,
     * so giant duplicate clusters keep linking instead of blowing up
     * state. Same-batch arrivals pair with each other because earlier
-    * arrivals are appended before later ones are scored. */
-  def nearDupBand(threshold: Double, cap: Int)(
+    * arrivals are appended before later ones are scored.
+    *
+    * `ttlMs`: optional idle TTL. Per-bucket state is capped at `cap`
+    * sketches, but the NUMBER of (band, sig) buckets grows with the
+    * number of distinct documents seen — unbounded over an unbounded
+    * stream. A bucket idle for `ttlMs` of processing time is evicted
+    * wholesale; a near-dup of an evicted bucket's members arriving later
+    * starts a fresh bucket and is NOT paired with them (windowed-dedup
+    * semantics). Every arrival re-arms its bucket's timer. */
+  def nearDupBand(threshold: Double, cap: Int, ttlMs: Option[Long] = None)(
       key: (Int, Int), rows: Iterator[(Long, Seq[Long])],
       state: GroupState[Seq[(Long, Seq[Long])]]): Iterator[BandPair] = {
-    var members = state.getOption.getOrElse(Seq.empty)
-    val out = Vector.newBuilder[BandPair]
-    rows.toSeq.sortBy(_._1).foreach { case (id, mh) =>
-      val against = if (members.size >= cap) members.take(1) else members
-      against.foreach { case (mid, mmh) =>
-        if (mid != id) {
-          val est = ocrspark.ops.Dedup.estJaccardImpl(mmh, mh)
-          if (est >= threshold)
-            out += BandPair(math.min(mid, id), math.max(mid, id), key._1, est)
+    if (state.hasTimedOut) { // idle TTL elapsed: evict the whole bucket
+      state.remove()
+      Iterator.empty
+    } else {
+      var members = state.getOption.getOrElse(Seq.empty)
+      val out = Vector.newBuilder[BandPair]
+      rows.toSeq.sortBy(_._1).foreach { case (id, mh) =>
+        val against = if (members.size >= cap) members.take(1) else members
+        against.foreach { case (mid, mmh) =>
+          if (mid != id) {
+            val est = ocrspark.ops.Dedup.estJaccardImpl(mmh, mh)
+            if (est >= threshold)
+              out += BandPair(math.min(mid, id), math.max(mid, id), key._1, est)
+          }
         }
+        if (members.size < cap) members = members :+ ((id, mh))
       }
-      if (members.size < cap) members = members :+ ((id, mh))
+      state.update(members)
+      ttlMs.foreach(state.setTimeoutDuration)
+      out.result().iterator
     }
-    state.update(members)
-    out.result().iterator
   }
 
   /** Streaming MinHash near-dup: the batch banding pipeline
@@ -194,9 +224,13 @@ object StreamExtract {
     * sketch) and the state store holds ≤ MaxBucketSize sketches per
     * bucket. A pair colliding in k bands is emitted once per band (the
     * `band` column disambiguates); consumers aggregate by (id_a, id_b)
-    * exactly as the batch path's distinct() does. */
+    * exactly as the batch path's distinct() does.
+    *
+    * `ttlMs`: idle-bucket eviction TTL (see [[nearDupBand]]) — without
+    * it, total state-store size grows with distinct docs forever. */
   def nearDupStream(docs: Dataset[DocEvent],
-                    threshold: Double = 0.7): Dataset[BandPair] = {
+                    threshold: Double = 0.7,
+                    ttlMs: Option[Long] = None): Dataset[BandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import ocrspark.ops.Dedup
@@ -210,18 +244,21 @@ object StreamExtract {
       .as[(Long, Seq[Long], Int, Int)]
     bands.groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout()) {
+        ttlMs.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+          .getOrElse(GroupStateTimeout.NoTimeout())) {
         (key: (Int, Int), rows: Iterator[(Long, Seq[Long], Int, Int)],
          state: GroupState[Seq[(Long, Seq[Long])]]) =>
-          nearDupBand(threshold, Dedup.MaxBucketSize)(
+          nearDupBand(threshold, Dedup.MaxBucketSize, ttlMs)(
             key, rows.map(r => (r._1, r._2)), state)
       }
   }
 
   /** Wire the stateful dedup over a stream of documents. The group key
     * is md5(text) (content-derived, shuffle carries hash+id+text of the
-    * batch only; the STATE holds just hash → keeper id). */
-  def dedupStream(docs: Dataset[DocEvent]): Dataset[DocEvent] = {
+    * batch only; the STATE holds just hash → keeper id). `ttlMs` bounds
+    * state on an unbounded stream (see [[dedupFirstSeen]]). */
+  def dedupStream(docs: Dataset[DocEvent],
+                  ttlMs: Option[Long] = None): Dataset[DocEvent] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.groupByKey { d =>
@@ -235,6 +272,7 @@ object StreamExtract {
           .map("%02x".format(_)).mkString
       }
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout())(dedupFirstSeen)
+        ttlMs.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+          .getOrElse(GroupStateTimeout.NoTimeout()))(dedupFirstSeen(ttlMs))
   }
 }

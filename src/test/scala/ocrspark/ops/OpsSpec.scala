@@ -295,6 +295,41 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("ranged as-of join: hot key splits across ranges, result equals plain asOf") {
+    import spark.implicits._
+    val width = 3600L * 1000000L // 1-hour ranges, ts in epoch micros
+    val base = 1700000000000000L
+    // hot key 10: 400 left events + 40 right events across ~12 hours;
+    // includes ranges with NO right rows (carry-in exercised), left rows
+    // before any right row (asof null), and an exact-tie timestamp.
+    val leftRows =
+      (0 until 400).map(i => (1000L + i, 10L, base + i * 100000000L)) ++
+      Seq((2000L, 20L, base + 7200000000L), // quiet key
+          (2001L, 20L, base)) // before key 20's only right row → null
+    val rightRows =
+      (0 until 40).map(j => (3000L + j, 10L, base + j * 1000000000L)) ++
+      Seq((3100L, 20L, base + 3600000000L))
+    val left = leftRows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val right = rightRows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val plain = AsOfJoin.asOf(left, right, "user_id", "ts")
+      .select($"event_id", $"asof.event_id".as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    val ranged = AsOfJoin.asOfRanged(left, right, "user_id", "ts", width)
+      .select($"event_id", $"asof.event_id".as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(ranged == plain, s"diff: ${
+      (ranged.toSet -- plain.toSet) ++ (plain.toSet -- ranged.toSet)}")
+    assert(plain(2001L).isEmpty && plain(2000L).contains(3100L))
+    // the within-range window shuffles on (key, range): the hot key's
+    // rows are spread over >1 task instead of funneling into one
+    val plan = AsOfJoin.asOfRanged(left, right, "user_id", "ts", width)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(__k#\\d+L?, __rg#".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+
   test("range join: binned equi-join matches brute force, no nested-loop join") {
     import spark.implicits._
     // intervals of varying length ≤ binWidth; points on and off edges
@@ -317,6 +352,37 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("as-of join: null-key left rows never match null-key right rows") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Some(10L), t("2024-01-01 10:00:00")),
+      (2L, None, t("2024-01-01 12:00:00"))    // null key → asof must be null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, Some(10L), t("2024-01-01 09:30:00")),
+      (102L, None, t("2024-01-01 11:00:00"))  // null-key right row: ignored
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts")
+      .select($"event_id", $"asof.event_id".as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    // join-equality semantics: NULL ≠ NULL (matches the DuckDB ASOF oracle)
+    assert(out == Map(1L -> Some(101L), 2L -> None), out.toString)
+  }
+
+  test("range join: one absurd-endpoint interval cannot explode the bin fan-out") {
+    import spark.implicits._
+    val points = Seq((10L, 100L), (10L, 150L)).toDF("k", "p")
+    // interval 2's end bound is a corrupt year-9999-style value: naively
+    // it would explode into ~1.26e15 bins; the maxBins guard must treat
+    // it like an inverted interval (zero matches) without touching row 1
+    val ivls = Seq((1L, 10L, 100L, 150L),
+      (2L, 10L, 0L, 253402300799000000L)).toDF("ivl", "k", "s", "e")
+    val got = RangeJoin.pointInInterval(points, ivls, "k", "p", "s", "e", 200L)
+      .select($"ivl", $"p").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (1L, 150L)), got.toString)
   }
 
   test("token histogram: counts, empty-token filtering, deterministic top-N") {

@@ -234,15 +234,94 @@ class StreamSpec extends AnyFunSuite {
       s"over-cap arrivals must star to the keeper: $out2")
   }
 
+  test("streaming dedup TTL evicts idle state; a later duplicate is re-admitted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dedupttl_docs").toString
+    val ckpt = Files.createTempDirectory("dedupttl_ckpt").toString
+    val sink = Files.createTempDirectory("dedupttl_sink").toString
+    val ttl = 1500L
+
+    def deposit(docs: Seq[StreamExtract.DocEvent]): Unit =
+      docs.toDS().write.mode("append").parquet(dir)
+    // ONE live query. NOTE: with ProcessingTimeTimeout the stateful
+    // operator reports shouldRunAnotherBatch=true on every trigger (to
+    // check timers), so the engine never sets noNewData — BOTH
+    // Trigger.AvailableNow (never terminates) and processAllAvailable
+    // (never unblocks) are unusable. Sink-polling with a deadline is
+    // the only correct wait.
+    deposit(Seq(StreamExtract.DocEvent(3, "ttl texto A")))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamExtract.DocEvent]].schema)
+      .parquet(dir).as[StreamExtract.DocEvent]
+    val q = StreamExtract.dedupStream(stream, ttlMs = Some(ttl)).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    def sinkIds(): Seq[Long] =
+      scala.util.Try(spark.read.parquet(sink).as[StreamExtract.DocEvent]
+        .collect().map(_.doc_id).sorted.toSeq).getOrElse(Seq.empty)
+    def awaitSink(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (sinkIds().size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+    }
+    try {
+      awaitSink(1) // batch 1: A admitted, timer armed
+
+      // idle past the TTL: the engine's timeout batch evicts A's group
+      Thread.sleep(ttl + 2000)
+      deposit(Seq(StreamExtract.DocEvent(10, "ttl texto B")))
+      awaitSink(2)
+
+      // duplicate of A arrives AFTER eviction → re-admitted (windowed
+      // dedup semantics: bounded state trades exactly-once for
+      // at-most-once-per-TTL-window)
+      deposit(Seq(StreamExtract.DocEvent(8, "ttl texto A")))
+      awaitSink(3)
+
+      val out = sinkIds()
+      assert(out == Seq(3L, 8L, 10L), s"got $out")
+      // eviction observed in the state-operator metrics: at least one
+      // batch removed a state row, and live state never exceeded the
+      // 2 concurrently-warm groups
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+      assert(ops.exists(_.numRowsRemoved >= 1L),
+        s"no eviction recorded: ${ops.map(o => (o.numRowsTotal, o.numRowsRemoved)).toSeq}")
+      assert(ops.forall(_.numRowsTotal <= 2L),
+        s"state not bounded: ${ops.map(_.numRowsTotal).toSeq}")
+    } finally q.stop()
+  }
+
+  test("near-dup band bucket is evicted wholesale on TTL timeout") {
+    val mh = Seq.fill(64)(7L)
+    val state = new TestGroupState[Seq[(Long, Seq[Long])]]
+    StreamExtract.nearDupBand(0.7, 64, Some(1000L))(
+      (0, 123), Iterator((1L, mh), (2L, mh)), state)
+      .toVector // force the iterator so state is updated
+    assert(state.get.size == 2)
+    // simulate the timeout invocation (no rows, hasTimedOut = true)
+    state.timedOut = true
+    val out = StreamExtract.nearDupBand(0.7, 64, Some(1000L))(
+      (0, 123), Iterator.empty, state).toVector
+    assert(out.isEmpty && state.getOption.isEmpty, "bucket must be removed")
+    // a fresh near-dup after eviction starts a NEW bucket (no pairing
+    // with evicted members — documented windowed semantics)
+    state.timedOut = false
+    val out2 = StreamExtract.nearDupBand(0.7, 64, Some(1000L))(
+      (0, 123), Iterator((9L, mh)), state).toVector
+    assert(out2.isEmpty && state.get.map(_._1) == Seq(9L))
+  }
+
   /** Minimal GroupState stub for direct unit-testing of the state fn. */
   class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
+    var timedOut: Boolean = false
     override def exists: Boolean = v.isDefined
     override def get: S = v.get
     override def getOption: Option[S] = v
     override def update(s: S): Unit = v = Some(s)
     override def remove(): Unit = v = None
-    override def hasTimedOut: Boolean = false
+    override def hasTimedOut: Boolean = timedOut
     override def setTimeoutDuration(d: Long): Unit = ()
     override def setTimeoutDuration(d: String): Unit = ()
     override def setTimeoutTimestamp(t: Long): Unit = ()
