@@ -636,6 +636,16 @@ object SparkEntry {
         .select(col("doc_id").as("id"),
           array_join(ocrspark.ops.Dedup.ngramSet(col("text"))
             .cast("array<string>"), ",").as("ng"))),
+    // f8's non-derivable inputs: the e2e dump intentionally drops
+    // warc_ts and never carries the raw payload size, so the report
+    // timestamp + size relay here and the oracle re-assembles the FULL
+    // markdown template (header, bullet list, field section in
+    // fieldPatterns order, fenced text, footer) in DuckDB SQL.
+    "f8s_inputs" -> ((s, dir) =>
+      ocrspark.job.Synth.pagesDF(s, dir)
+        .select(col("url"), col("warc_ts"),
+          coalesce(octet_length(col("html")).cast("long"), lit(0L))
+            .as("size_bytes"))),
     // ANN oracle inputs: bucket/cell assignments + query probe lists
     // (the UDF-hashed parts the SQL engine cannot reproduce); scoring
     // and ranking downstream are re-derived in DuckDB from these plus
@@ -1230,6 +1240,127 @@ object SparkEntry {
         |SELECT id_a, id_b, max(cosine) AS cosine FROM pairs
         |WHERE cosine >= 0.99
         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    // f8 re-derived in SQL: the ENTIRE markdown template (header,
+    // processing-info bullets with Python str(float) number rendering,
+    // the field section in fieldPatterns insertion order with
+    // title-cased keys, the fenced text block, footer timestamp)
+    // re-assembled in DuckDB from the dumped e2e output + the f8s input
+    // relay (warc_ts, payload size). Cross-checks the report generator
+    // against the extraction stage character-for-character; pyNum ≡
+    // "x.0 when whole else shortest-repr" holds in both engines.
+    "f8_markdown_report" ->
+      """WITH j AS (
+        |  SELECT e.url, e.lang, e.text, e.fields, e.method, e.pages,
+        |    i.warc_ts,
+        |    regexp_extract(e.url, '([^/]*)$', 1) AS fname,
+        |    floor(e.confidence * 100.0 + 0.5) / 100.0 AS conf2,
+        |    floor(i.size_bytes / 1048576.0 * 100.0 + 0.5) / 100.0 AS szmb,
+        |    CASE WHEN e.lang = 'es' THEN 'spa' WHEN e.lang = 'en' THEN 'eng'
+        |         WHEN e.lang IS NULL THEN 'spa' ELSE e.lang END AS rlang
+        |  FROM read_parquet('__OUT__/e2e_extract/*.parquet') e
+        |  JOIN read_parquet('__OUT__/f8s_inputs/*.parquet') i
+        |    ON e.url = i.url
+        |), f AS (
+        |  SELECT url, concat(
+        |    CASE WHEN json_extract_string(fields, '$.carpeta_fiscal') IS NOT NULL
+        |      THEN '- **Carpeta Fiscal**: ' || json_extract_string(fields, '$.carpeta_fiscal') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.expediente') IS NOT NULL
+        |      THEN '- **Expediente**: ' || json_extract_string(fields, '$.expediente') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.fiscalia') IS NOT NULL
+        |      THEN '- **Fiscalia**: ' || json_extract_string(fields, '$.fiscalia') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.distrito_fiscal') IS NOT NULL
+        |      THEN '- **Distrito Fiscal**: ' || json_extract_string(fields, '$.distrito_fiscal') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.delito') IS NOT NULL
+        |      THEN '- **Delito**: ' || json_extract_string(fields, '$.delito') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.imputado') IS NOT NULL
+        |      THEN '- **Imputado**: ' || json_extract_string(fields, '$.imputado') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.agraviado') IS NOT NULL
+        |      THEN '- **Agraviado**: ' || json_extract_string(fields, '$.agraviado') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.fecha') IS NOT NULL
+        |      THEN '- **Fecha**: ' || json_extract_string(fields, '$.fecha') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.resolucion') IS NOT NULL
+        |      THEN '- **Resolucion**: ' || json_extract_string(fields, '$.resolucion') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.juzgado') IS NOT NULL
+        |      THEN '- **Juzgado**: ' || json_extract_string(fields, '$.juzgado') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.juez') IS NOT NULL
+        |      THEN '- **Juez**: ' || json_extract_string(fields, '$.juez') || chr(10) ELSE '' END,
+        |    CASE WHEN json_extract_string(fields, '$.fiscal') IS NOT NULL
+        |      THEN '- **Fiscal**: ' || json_extract_string(fields, '$.fiscal') || chr(10) ELSE '' END
+        |  ) AS frows FROM j
+        |)
+        |SELECT j.url,
+        |  '# Procesamiento OCR - ' || j.fname || chr(10) || chr(10) ||
+        |  '## Información del Procesamiento' || chr(10) ||
+        |  '- **Archivo**: ' || j.fname || chr(10) ||
+        |  '- **Método**: ' || j.method || chr(10) ||
+        |  '- **Páginas**: ' || CAST(j.pages AS VARCHAR) || chr(10) ||
+        |  '- **Tiempo**: 0.0s' || chr(10) ||
+        |  '- **Confianza**: ' ||
+        |    CASE WHEN j.conf2 = floor(j.conf2) THEN printf('%.1f', j.conf2)
+        |         ELSE CAST(j.conf2 AS VARCHAR) END || '%' || chr(10) ||
+        |  '- **Idioma**: ' || j.rlang || chr(10) ||
+        |  '- **Tamaño**: ' ||
+        |    CASE WHEN j.szmb = floor(j.szmb) THEN printf('%.1f', j.szmb)
+        |         ELSE CAST(j.szmb AS VARCHAR) END || 'MB' || chr(10) ||
+        |  chr(10) ||
+        |  CASE WHEN f.frows <> ''
+        |    THEN '## Campos Extraídos' || chr(10) || chr(10) || f.frows || chr(10)
+        |    ELSE '' END ||
+        |  '## Contenido Extraído' || chr(10) || chr(10) ||
+        |  chr(96) || chr(96) || chr(96) || chr(10) ||
+        |  coalesce(j.text, '') || chr(10) ||
+        |  chr(96) || chr(96) || chr(96) || chr(10) || chr(10) ||
+        |  '---' || chr(10) ||
+        |  '*Procesado el ' || strftime(j.warc_ts, '%d/%m/%Y %H:%M:%S') || '*'
+        |  AS report
+        |FROM j JOIN f ON j.url = f.url
+        |ORDER BY j.url""".stripMargin,
+    // f9 re-derived in SQL: the /process response JSON envelope
+    // (exact key order, Python-str number rendering, ISO timestamp,
+    // Jackson string escaping for the text payload) re-assembled by
+    // manual concatenation in DuckDB from the e2e dump + f8s relay.
+    // extracted_fields relays the dump's own key-sorted JSON object
+    // verbatim (it IS the same to_json serialization) and is omitted —
+    // like the reference — when no fields fired.
+    "f9_json_metadata" ->
+      """WITH j AS (
+        |  SELECT e.url, e.text, e.fields, e.method, e.pages, e.error,
+        |    i.warc_ts,
+        |    regexp_extract(e.url, '([^/]*)$', 1) AS fname,
+        |    floor(e.confidence * 100.0 + 0.5) / 100.0 AS conf2,
+        |    floor(i.size_bytes / 1048576.0 * 100.0 + 0.5) / 100.0 AS szmb,
+        |    CASE WHEN e.lang = 'es' THEN 'spa' WHEN e.lang = 'en' THEN 'eng'
+        |         ELSE e.lang END AS rlang,
+        |    replace(replace(replace(replace(replace(coalesce(e.text, ''),
+        |      chr(92), chr(92) || chr(92)),
+        |      chr(34), chr(92) || chr(34)),
+        |      chr(10), chr(92) || 'n'),
+        |      chr(13), chr(92) || 'r'),
+        |      chr(9),  chr(92) || 't') AS etext
+        |  FROM read_parquet('__OUT__/e2e_extract/*.parquet') e
+        |  JOIN read_parquet('__OUT__/f8s_inputs/*.parquet') i
+        |    ON e.url = i.url
+        |)
+        |SELECT url,
+        |  '{"success":' || CASE WHEN error IS NULL THEN 'true' ELSE 'false' END ||
+        |  ',"filename":"' || fname ||
+        |  '","pages_processed":' || CAST(pages AS VARCHAR) ||
+        |  ',"processing_time":0.0' ||
+        |  ',"processing_method":"' || method ||
+        |  '","language":"' || rlang ||
+        |  '","file_size_mb":' ||
+        |    CASE WHEN szmb = floor(szmb) THEN printf('%.1f', szmb)
+        |         ELSE CAST(szmb AS VARCHAR) END ||
+        |  ',"confidence":' ||
+        |    CASE WHEN conf2 = floor(conf2) THEN printf('%.1f', conf2)
+        |         ELSE CAST(conf2 AS VARCHAR) END ||
+        |  ',"timestamp":"' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S') ||
+        |  '"' ||
+        |  CASE WHEN fields <> '{}' THEN ',"extracted_fields":' || fields
+        |       ELSE '' END ||
+        |  ',"text":"' || etext || '"}' AS metadata_json
+        |FROM j
+        |ORDER BY url""".stripMargin,
     // p5c re-derived from the e2e_extract dump: the analyze fast path's
     // route counts must equal the full extraction's per-doc routes.
     "p5c_routing_counts" ->
