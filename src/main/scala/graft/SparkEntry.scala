@@ -534,6 +534,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // M1b: the non-PDF slice of m1 with a full DuckDB oracle — every
+    // field re-derived in SQL from the dumped payload hex: magic-byte
+    // sniff, PNG/GIF/BMP fixed-offset dims, the JPEG SOF segment walk
+    // and WAV/MP4 chunk-box walks as recursive CTEs, and the sampled
+    // 31-polynomial content hash in mod-2^64 HUGEINT arithmetic. (PDF
+    // rows are excluded because their page count comes from the
+    // engine's own 579-line parser — sbt/golden-verified instead.)
+    "m1b_media_meta_nonpdf" -> ((s, dir) => {
+      val pages = ocrspark.job.Synth.pagesDF(s, dir)
+        .select(xxhash64(col("url")).as("id"), col("html"))
+        .unionAll(ocrspark.job.Synth.avMediaDF(s, 8))
+      ocrspark.ops.Multimodal.withMediaMetadata(pages, "id", "html")
+        .filter(col("kind") =!= "application/pdf")
+        .orderBy(col("id"))
+    }),
+
     // M2: frame-sampling explode + resize planning over media metadata
     // (multimodal plumbing beyond decode — stride-4 frame keys, 224-box
     // aspect-preserving resize arithmetic).
@@ -636,6 +652,16 @@ object SparkEntry {
         .select(col("doc_id").as("id"),
           array_join(ocrspark.ops.Dedup.ngramSet(col("text"))
             .cast("array<string>"), ",").as("ng"))),
+    // m1b's raw payloads as hex (id, hx, n) — the oracle re-derives
+    // every metadata field from these bytes in pure SQL. Hex doubles
+    // the bytes but stays scalar (driver-hashable) and exact.
+    "m1s_payloads" -> ((s, dir) =>
+      ocrspark.job.Synth.pagesDF(s, dir)
+        .select(xxhash64(col("url")).as("id"), col("html"))
+        .unionAll(ocrspark.job.Synth.avMediaDF(s, 8))
+        .select(col("id"), hex(col("html")).as("hx"),
+          coalesce(octet_length(col("html")).cast("long"), lit(0L))
+            .as("n"))),
     // f8's non-derivable inputs: the e2e dump intentionally drops
     // warc_ts and never carries the raw payload size, so the report
     // timestamp + size relay here and the oracle re-assembles the FULL
@@ -1361,6 +1387,293 @@ object SparkEntry {
         |  ',"text":"' || etext || '"}' AS metadata_json
         |FROM j
         |ORDER BY url""".stripMargin,
+    // m1b re-derived ENTIRELY from payload bytes in SQL: magic sniff,
+    // fixed-offset PNG/GIF/BMP dims, the JPEG SOF segment walk and the
+    // WAV chunk / MP4 box walks as recursive CTEs (each mirroring the
+    // Scala parser step-for-step), and the sampled 31-polynomial
+    // content hash in mod-2^64 HUGEINT arithmetic.
+    "m1b_media_meta_nonpdf" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT id, hx, n FROM read_parquet('__OUT__/m1s_payloads/*.parquet')
+        |), k AS (
+        |  SELECT id, hx, n,
+        |    CASE
+        |      WHEN n = 0 OR hx IS NULL THEN 'empty'
+        |      WHEN n >= 4 AND substr(hx,1,4) = '8950' THEN 'image/png'
+        |      WHEN n >= 3 AND substr(hx,1,4) = 'FFD8' THEN 'image/jpeg'
+        |      WHEN n >= 4 AND substr(hx,1,8) = '47494638' THEN 'image/gif'
+        |      WHEN n >= 4 AND (substr(hx,1,6) = '49492A' OR substr(hx,1,6) = '4D4D00')
+        |        THEN 'image/tiff'
+        |      WHEN n >= 2 AND substr(hx,1,4) = '424D' THEN 'image/bmp'
+        |      WHEN n >= 12 AND substr(hx,1,8) = '52494646' THEN
+        |        CASE WHEN substr(hx,17,6) = '574156' THEN 'audio/wav'
+        |             WHEN substr(hx,17,6) = '415649' THEN 'video/avi'
+        |             ELSE 'application/octet-stream' END
+        |      WHEN n >= 12 AND substr(hx,9,8) = '66747970' THEN 'video/mp4'
+        |      WHEN n >= 5 AND substr(hx,1,4) = '2550' THEN 'application/pdf'
+        |      ELSE 'application/octet-stream'
+        |    END AS kind
+        |  FROM p
+        |), hdr AS (
+        |  -- first 64 bytes as an int list (1-based: b[i+1] = byte at offset i)
+        |  SELECT id, kind, hx, n,
+        |    list_transform(range(0, CAST(least(n, 64) AS INT)), p ->
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*p+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*p+2, 1)) - 1)) AS b
+        |  FROM k WHERE kind IN ('image/png','image/gif','image/bmp')
+        |), fixdims AS (
+        |  SELECT id,
+        |    CASE
+        |      WHEN kind = 'image/png' THEN
+        |        CASE WHEN n >= 24 AND substr(hx,25,8) = '49484452'
+        |          THEN [b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20],
+        |                b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]]
+        |          ELSE [0, 0] END
+        |      WHEN kind = 'image/gif' THEN
+        |        CASE WHEN n >= 10
+        |          THEN [b[7] + b[8]*256, b[9] + b[10]*256]
+        |          ELSE [0, 0] END
+        |      ELSE -- bmp
+        |        CASE WHEN n >= 26 THEN
+        |          CASE
+        |            WHEN b[15] + b[16]*256 + b[17]*65536 + b[18]*16777216 >= 40 THEN
+        |              [CASE WHEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216 >= 2147483648
+        |                    THEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216 - 4294967296
+        |                    ELSE b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216 END,
+        |               abs(CASE WHEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216 >= 2147483648
+        |                    THEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216 - 4294967296
+        |                    ELSE b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216 END)]
+        |            WHEN b[15] + b[16]*256 + b[17]*65536 + b[18]*16777216 = 12 AND n >= 22 THEN
+        |              [b[19] + b[20]*256, b[21] + b[22]*256]
+        |            ELSE [0, 0] END
+        |          ELSE [0, 0] END
+        |    END AS wh
+        |  FROM hdr
+        |), jw AS (
+        |  -- JPEG SOF segment walk (mirrors Multimodal.jpegDims step-for-step;
+        |  -- single-step fill-byte skipping is output-equivalent — see scaladoc)
+        |  SELECT id, hx, n, 2::BIGINT AS pos, 0 AS st, 0::BIGINT AS w, 0::BIGINT AS h
+        |  FROM k WHERE kind = 'image/jpeg'
+        |  UNION ALL
+        |  SELECT id, hx, n,
+        |    CASE
+        |      WHEN u1 = 255 THEN pos + 1
+        |      WHEN u1 = 216 OR (u1 BETWEEN 208 AND 215) OR u1 = 1 THEN pos + 2
+        |      WHEN (u1 BETWEEN 192 AND 207) AND u1 NOT IN (196, 200, 204) THEN pos
+        |      ELSE pos + 2 + u2*256 + u3
+        |    END AS pos,
+        |    CASE
+        |      WHEN u0 != 255 THEN 2 -- desynced: fail
+        |      WHEN u1 = 255 OR u1 = 216 OR (u1 BETWEEN 208 AND 215) OR u1 = 1
+        |        THEN CASE WHEN (CASE WHEN u1 = 255 THEN pos + 1 ELSE pos + 2 END) + 3 < n
+        |             THEN 0 ELSE 2 END
+        |      WHEN (u1 BETWEEN 192 AND 207) AND u1 NOT IN (196, 200, 204)
+        |        THEN CASE WHEN pos + 8 < n THEN 1 ELSE 2 END
+        |      ELSE CASE WHEN pos + 2 + u2*256 + u3 + 3 < n THEN 0 ELSE 2 END
+        |    END AS st,
+        |    CASE WHEN (u1 BETWEEN 192 AND 207) AND u1 NOT IN (196, 200, 204)
+        |          AND u0 = 255 AND pos + 8 < n
+        |         THEN u7*256 + u8 ELSE 0 END AS w,
+        |    CASE WHEN (u1 BETWEEN 192 AND 207) AND u1 NOT IN (196, 200, 204)
+        |          AND u0 = 255 AND pos + 8 < n
+        |         THEN u5*256 + u6 ELSE 0 END AS h
+        |  FROM (
+        |    SELECT id, hx, n, pos,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+2, 1))-1) AS u0,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+4, 1))-1) AS u1,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+6, 1))-1) AS u2,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+8, 1))-1) AS u3,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+11, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+12, 1))-1) AS u5,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+13, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+14, 1))-1) AS u6,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+15, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+16, 1))-1) AS u7,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+17, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+18, 1))-1) AS u8,
+        |      st, w, h
+        |    FROM jw WHERE st = 0 AND pos + 3 < n
+        |  )
+        |), jdims AS (
+        |  SELECT j.id,
+        |    coalesce(max(CASE WHEN jw.st = 1 THEN jw.w END), 0) AS w,
+        |    coalesce(max(CASE WHEN jw.st = 1 THEN jw.h END), 0) AS h
+        |  FROM (SELECT DISTINCT id FROM k WHERE kind = 'image/jpeg') j
+        |  LEFT JOIN jw ON jw.id = j.id
+        |  GROUP BY j.id
+        |), ww AS (
+        |  -- WAV RIFF chunk walk (mirrors Multimodal.wavMeta)
+        |  SELECT id, hx, n, 12::BIGINT AS pos,
+        |    0::BIGINT AS rate, 0::BIGINT AS align, -1::BIGINT AS datab,
+        |    CASE WHEN substr(hx,17,8) = '57415645' THEN 0 ELSE 1 END AS done
+        |  FROM k WHERE kind = 'audio/wav'
+        |  UNION ALL
+        |  SELECT id, hx, n,
+        |    pos + 8 + sz + (sz % 2) AS pos,
+        |    CASE WHEN tag8 = '666D7420' AND sz >= 16 AND pos + 24 <= n
+        |         THEN r2 ELSE rate END AS rate,
+        |    CASE WHEN tag8 = '666D7420' AND sz >= 16 AND pos + 24 <= n
+        |         THEN a2 ELSE align END AS align,
+        |    CASE WHEN tag8 = '64617461' THEN sz ELSE datab END AS datab,
+        |    CASE WHEN pos + 8 + sz + (sz % 2) > n THEN 1 ELSE 0 END AS done
+        |  FROM (
+        |    SELECT id, hx, n, pos, rate, align, datab,
+        |      substr(hx, 2*pos+1, 8) AS tag8,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+9, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+10, 1))-1)
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+11, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+12, 1))-1)) * 256
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+13, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+14, 1))-1)) * 65536
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+15, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+16, 1))-1)) * 16777216 AS sz,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+33, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+34, 1))-1)
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+35, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+36, 1))-1)) * 256
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+37, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+38, 1))-1)) * 65536
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+39, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+40, 1))-1)) * 16777216 AS r2,
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*pos+41, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+42, 1))-1)
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+43, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+44, 1))-1)) * 256 AS a2
+        |    FROM ww WHERE done = 0 AND pos + 8 <= n
+        |  )
+        |), wmeta AS (
+        |  SELECT w0.id,
+        |    CASE WHEN f.rate > 0 AND f.align > 0 AND f.datab >= 0
+        |         THEN least(f.datab // f.align, 2147483647) ELSE 0 END AS frames,
+        |    CASE WHEN f.rate > 0 AND f.align > 0 AND f.datab >= 0
+        |         THEN f.datab * 1000 // f.rate ELSE 0 END AS dur
+        |  FROM (SELECT DISTINCT id FROM k WHERE kind = 'audio/wav') w0
+        |  LEFT JOIN (
+        |    SELECT id, arg_max(rate, pos) AS rate, arg_max(align, pos) AS align,
+        |           arg_max(datab, pos) AS datab
+        |    FROM ww GROUP BY id
+        |  ) f ON f.id = w0.id
+        |), mv1 AS (
+        |  -- top-level box walk to moov (mirrors Multimodal.mp4Meta findBox)
+        |  SELECT id, hx, n, 0::BIGINT AS pos, 0 AS st,
+        |    0::BIGINT AS box, 0::BIGINT AS bend
+        |  FROM k WHERE kind = 'video/mp4'
+        |  UNION ALL
+        |  SELECT id, hx, n,
+        |    CASE WHEN tag8 = '6D6F6F76' THEN pos ELSE pos + sz END AS pos,
+        |    CASE WHEN sz < 8 THEN 2
+        |         WHEN tag8 = '6D6F6F76' THEN 1
+        |         WHEN pos + sz + 8 <= n THEN 0 ELSE 2 END AS st,
+        |    CASE WHEN sz >= 8 AND tag8 = '6D6F6F76' THEN pos ELSE 0 END AS box,
+        |    CASE WHEN sz >= 8 AND tag8 = '6D6F6F76' THEN least(n, pos + sz) ELSE 0 END AS bend
+        |  FROM (
+        |    SELECT id, hx, n, pos,
+        |      ((strpos('0123456789ABCDEF', substr(hx, 2*pos+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+2, 1))-1)) * 16777216
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+4, 1))-1)) * 65536
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+6, 1))-1)) * 256
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+8, 1))-1)) AS sz,
+        |      substr(hx, 2*pos+9, 8) AS tag8
+        |    FROM mv1 WHERE st = 0 AND pos + 8 <= n
+        |  )
+        |), mv2 AS (
+        |  -- inner walk moov+8 .. moovEnd to mvhd
+        |  SELECT m.id, m.hx, m.n, m.box + 8 AS pos, 0 AS st,
+        |    0::BIGINT AS box, m.bend AS lim, 0::BIGINT AS bend
+        |  FROM (SELECT id, hx, n, arg_max(box, st) AS box, arg_max(bend, st) AS bend,
+        |               max(st) AS fst FROM mv1 GROUP BY id, hx, n) m
+        |  WHERE m.fst = 1
+        |  UNION ALL
+        |  SELECT id, hx, n,
+        |    CASE WHEN tag8 = '6D766864' THEN pos ELSE pos + sz END AS pos,
+        |    CASE WHEN sz < 8 THEN 2
+        |         WHEN tag8 = '6D766864' THEN 1
+        |         WHEN pos + sz + 8 <= lim THEN 0 ELSE 2 END AS st,
+        |    CASE WHEN sz >= 8 AND tag8 = '6D766864' THEN pos ELSE 0 END AS box,
+        |    lim,
+        |    CASE WHEN sz >= 8 AND tag8 = '6D766864' THEN least(lim, pos + sz) ELSE 0 END AS bend
+        |  FROM (
+        |    SELECT id, hx, n, pos, lim,
+        |      ((strpos('0123456789ABCDEF', substr(hx, 2*pos+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+2, 1))-1)) * 16777216
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+4, 1))-1)) * 65536
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+6, 1))-1)) * 256
+        |      + ((strpos('0123456789ABCDEF', substr(hx, 2*pos+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*pos+8, 1))-1)) AS sz,
+        |      substr(hx, 2*pos+9, 8) AS tag8
+        |    FROM mv2 WHERE st = 0 AND pos + 8 <= lim
+        |  )
+        |), mmeta AS (
+        |  SELECT m0.id,
+        |    CASE WHEN f.fst = 1 AND f.need <= f.bend AND f.need <= f.n AND f.ts > 0
+        |         THEN f.dur * 1000 // f.ts ELSE 0 END AS dur
+        |  FROM (SELECT DISTINCT id FROM k WHERE kind = 'video/mp4') m0
+        |  LEFT JOIN (
+        |    SELECT id, n, max(st) AS fst, arg_max(box, st) AS mv,
+        |      arg_max(bend, st) AS bend,
+        |      arg_max(CASE WHEN ver = 1 THEN box + 40 ELSE box + 28 END, st) AS need,
+        |      arg_max(ts, st) AS ts, arg_max(dur, st) AS dur
+        |    FROM (
+        |      SELECT id, n, st, box, bend, ver,
+        |        CASE WHEN ver = 1
+        |          THEN ((strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+2, 1))-1)) * 16777216
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+4, 1))-1)) * 65536
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+6, 1))-1)) * 256
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+28)+8, 1))-1))
+        |          ELSE ((strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+2, 1))-1)) * 16777216
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+4, 1))-1)) * 65536
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+6, 1))-1)) * 256
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+20)+8, 1))-1)) END AS ts,
+        |        CASE WHEN ver = 1
+        |          THEN (((strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+2, 1))-1)) * 16777216
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+4, 1))-1)) * 65536
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+6, 1))-1)) * 256
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+32)+8, 1))-1))) * 4294967296
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+2, 1))-1)) * 16777216
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+4, 1))-1)) * 65536
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+6, 1))-1)) * 256
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+36)+8, 1))-1))
+        |          ELSE ((strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+2, 1))-1)) * 16777216
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+3, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+4, 1))-1)) * 65536
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+5, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+6, 1))-1)) * 256
+        |             + ((strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+7, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+24)+8, 1))-1)) END AS dur
+        |      FROM (
+        |        SELECT id, hx, n, st, box, bend,
+        |          (strpos('0123456789ABCDEF', substr(hx, 2*(box+8)+1, 1))-1)*16 + (strpos('0123456789ABCDEF', substr(hx, 2*(box+8)+2, 1))-1) AS ver
+        |        FROM mv2 WHERE st = 1
+        |      )
+        |    ) GROUP BY id, n
+        |  ) f ON f.id = m0.id
+        |), ch AS (
+        |  SELECT id,
+        |    CASE WHEN kind = 'empty' THEN 0
+        |    ELSE CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+        |              THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT)
+        |    END AS content_hash
+        |  FROM (
+        |    SELECT id, kind,
+        |      CASE WHEN kind = 'empty' THEN 0::HUGEINT ELSE
+        |        list_reduce(
+        |          list_prepend(1125899906842597::HUGEINT,
+        |            list_transform(range(0, CAST(n AS INT),
+        |                CAST(greatest(1, n // 4096) AS INT)), p ->
+        |              CAST(CASE WHEN (strpos('0123456789ABCDEF', substr(hx, 2*p+1, 1))-1)*16
+        |                         + (strpos('0123456789ABCDEF', substr(hx, 2*p+2, 1))-1) > 127
+        |                   THEN (strpos('0123456789ABCDEF', substr(hx, 2*p+1, 1))-1)*16
+        |                      + (strpos('0123456789ABCDEF', substr(hx, 2*p+2, 1))-1) - 256
+        |                   ELSE (strpos('0123456789ABCDEF', substr(hx, 2*p+1, 1))-1)*16
+        |                      + (strpos('0123456789ABCDEF', substr(hx, 2*p+2, 1))-1) END AS HUGEINT))),
+        |          (acc, x) -> ((31*acc + x) % 18446744073709551616::HUGEINT
+        |                       + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT)
+        |      END AS hh
+        |    FROM k
+        |  )
+        |)
+        |SELECT k.id, k.kind,
+        |  CAST(CASE WHEN k.kind IN ('image/png','image/gif','image/bmp') THEN fd.wh[1]
+        |            WHEN k.kind = 'image/jpeg' THEN jd.w ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN k.kind IN ('image/png','image/gif','image/bmp') THEN fd.wh[2]
+        |            WHEN k.kind = 'image/jpeg' THEN jd.h ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN k.kind IN ('image/png','image/jpeg','image/gif','image/bmp',
+        |                            'image/tiff') THEN 1
+        |            WHEN k.kind = 'audio/wav' THEN wm.frames ELSE 0 END AS INT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN k.kind = 'audio/wav' THEN wm.dur
+        |            WHEN k.kind = 'video/mp4' THEN mm.dur ELSE 0 END AS BIGINT)
+        |    AS duration_ms,
+        |  k.n AS size_bytes,
+        |  ch.content_hash
+        |FROM k
+        |LEFT JOIN fixdims fd ON fd.id = k.id
+        |LEFT JOIN jdims jd ON jd.id = k.id
+        |LEFT JOIN wmeta wm ON wm.id = k.id
+        |LEFT JOIN mmeta mm ON mm.id = k.id
+        |JOIN ch ON ch.id = k.id
+        |WHERE k.kind <> 'application/pdf'
+        |ORDER BY k.id""".stripMargin,
     // p5c re-derived from the e2e_extract dump: the analyze fast path's
     // route counts must equal the full extraction's per-doc routes.
     "p5c_routing_counts" ->

@@ -73,6 +73,7 @@ object Multimodal {
       if (u8(b, i) != 0xFF) return None // desynced: not a marker
       var j = i
       while (j + 1 < b.length && u8(b, j + 1) == 0xFF) j += 1 // fill bytes
+      if (j + 1 >= b.length) return None // trailing 0xFF run: truncated
       val m = u8(b, j + 1)
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
         i = j + 2 // standalone marker, no length field

@@ -453,6 +453,9 @@ class OpsSpec extends AnyFunSuite {
     // truncated headers are honest unknowns, not fabrications
     assert(Multimodal.pngDims(png.take(12)).isEmpty)
     assert(Multimodal.jpegDims(jpg.take(10)).isEmpty)
+    // a payload ENDING in a 0xFF fill run must not read past the buffer
+    assert(Multimodal.jpegDims(Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF,
+      0xFF, 0xFF).map(_.toByte)).isEmpty)
     // decode surfaces the parsed dims and a single frame
     val m = Multimodal.decodeStub(png)
     assert(m.kind == "image/png" && m.width == pw && m.height == ph &&
