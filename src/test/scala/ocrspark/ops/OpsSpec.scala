@@ -330,6 +330,44 @@ class OpsSpec extends AnyFunSuite {
       plan)
   }
 
+  test("ranged as-of join: randomized equivalence with plain asOf (boundary-biased)") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    for (seed <- Seq(7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val width = Seq(1000000L, 3600000000L)(rnd.nextInt(2)) // 1 s or 1 h
+      // timestamps biased onto range boundaries (exact multiples of
+      // width), boundary±1 µs, and exact left==right tie instants
+      def ts(): Long = {
+        val r = rnd.nextInt(10)
+        val k = rnd.nextInt(20).toLong
+        if (r < 4) base + k * width + Seq(-1L, 0L, 1L)(rnd.nextInt(3))
+        else base + (rnd.nextLong() % (20 * width)).abs
+      }
+      val keys = Seq(1L, 2L, 3L)
+      val left = (1 to 120).map(i =>
+        (i.toLong, keys(rnd.nextInt(3)), ts()))
+      val rightTs = (1 to 40).map(_ => ts()).distinct
+      val right = rightTs.zipWithIndex.map { case (t, i) =>
+        (1000L + i, keys(rnd.nextInt(3)), t)
+      }
+      val lDf = left.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros($"us")).drop("us")
+      // (key, ts) unique on the right by construction (rightTs is
+      // globally distinct) per the determinism contract
+      val rDf = right.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros($"us")).drop("us")
+      val plain = AsOfJoin.asOf(lDf, rDf, "user_id", "ts")
+        .select($"event_id", $"asof.event_id".as("m"))
+        .as[(Long, Option[Long])].collect().toMap
+      val ranged = AsOfJoin.asOfRanged(lDf, rDf, "user_id", "ts", width)
+        .select($"event_id", $"asof.event_id".as("m"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(ranged == plain, s"seed $seed width $width diff: ${
+        (ranged.toSet -- plain.toSet) ++ (plain.toSet -- ranged.toSet)}")
+    }
+  }
+
   test("range join: binned equi-join matches brute force, no nested-loop join") {
     import spark.implicits._
     // intervals of varying length ≤ binWidth; points on and off edges
