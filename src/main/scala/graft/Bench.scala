@@ -114,9 +114,16 @@ object Bench {
         f" median=${median(cs)}%.3f noise=${median(cs) / CanaryQuietSec}%.2f")
       return
     }
+    // the canary reference (CanaryQuietSec) is calibrated for the
+    // canonical 32-core host: on a weaker box the fixed 32-thread
+    // workload is slower on a PERFECTLY quiet host, so retrying and
+    // flagging there would misreport — noise factors are still
+    // reported, but the retry loop and the contaminated verdict only
+    // engage on the canonical config (where the floor applies)
+    val canonicalHost = cpus == "32"
     var canaryPre = canaryMeasure()
     var noiseRetries = 0
-    while (canaryPre / CanaryQuietSec > NoiseThreshold &&
+    while (canonicalHost && canaryPre / CanaryQuietSec > NoiseThreshold &&
            noiseRetries < maxNoiseRetries) {
       System.err.println(
         f"[bench] noisy window (canary ${canaryPre}%.2fs = " +
@@ -242,7 +249,8 @@ object Bench {
     val canaryPost = canaryMeasure()
     val noisePre = canaryPre / CanaryQuietSec
     val noisePost = canaryPost / CanaryQuietSec
-    val contaminated = noisePre > NoiseThreshold || noisePost > NoiseThreshold
+    val contaminated = canonicalHost &&
+      (noisePre > NoiseThreshold || noisePost > NoiseThreshold)
 
     val extractSec = results("e2e_extract")
     val docsPerSec = if (extractSec > 0) nDocs / extractSec else 0.0

@@ -540,8 +540,12 @@ object Dedup {
     val bigPairs = bucketed.join(broadcast(bigKeepers), Seq("bucket"))
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
-        round(Similarity.cosineUdf(col("keeper_v"), col("v")), 6)
-          .as("cosine"))
+        // floor(x·1e6 + 0.5)/1e6 — the SAME half-up pathway as the
+        // in-cap branch (embBucketPairs) and the d5 oracle; Spark's
+        // round() goes through BigDecimal HALF_UP, which can differ by
+        // 1e-6 on values whose double·1e6 sits on a rounding boundary
+        (floor(Similarity.cosineUdf(col("keeper_v"), col("v")) * 1e6
+          + lit(0.5)) / 1e6).as("cosine"))
     smallPairs.unionAll(bigPairs)
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))

@@ -132,14 +132,18 @@ object Multimodal {
     * timescale ms. Returns None when moov/mvhd is absent/truncated. */
   private[ops] def mp4Meta(b: Array[Byte]): Option[Long] = {
     def findBox(tag: String, from: Int, to: Int): Option[(Int, Int)] = {
-      var i = from
+      // Long cursor (like wavMeta): a corrupt u32 size field ≥ 2^31
+      // would drive an Int cursor negative and index out of bounds —
+      // the walk must degrade to None on adversarial sizes, never throw
+      var i = from.toLong
       while (i + 8 <= to) {
-        val size = be32(b, i)
+        val off = i.toInt
+        val size = be32(b, off)
         if (size < 8) return None // size 0/1 (to-eof, largesize) unsupported
-        if (b(i + 4) == tag(0) && b(i + 5) == tag(1) &&
-          b(i + 6) == tag(2) && b(i + 7) == tag(3))
-          return Some((i, math.min(to.toLong, i + size).toInt))
-        i += size.toInt
+        if (b(off + 4) == tag(0) && b(off + 5) == tag(1) &&
+          b(off + 6) == tag(2) && b(off + 7) == tag(3))
+          return Some((off, math.min(to.toLong, i + size).toInt))
+        i += size
       }
       None
     }

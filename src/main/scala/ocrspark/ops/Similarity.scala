@@ -229,8 +229,16 @@ object Similarity {
     * would be a tie-break lottery). Same (nCells, iters) ⇒ same
     * centroids as [[ivfTopK]] (Lloyd's here is RNG-free). */
   def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
-               nCells: Int = 16, iters: Int = 4): DataFrame = {
-    val centroids = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+               nCells: Int = 16, iters: Int = 4): DataFrame =
+    ivfCellsFrom(emb, idCol, vecCol,
+      kmeansCentroids(emb, idCol, vecCol, nCells, iters))
+
+  /** [[ivfCells]] over a precomputed quantizer — callers running
+    * several IVF artifacts over one corpus (cells dump + probes dump +
+    * the query itself) train ONCE and share the centroids instead of
+    * paying three identical deterministic trainings. */
+  def ivfCellsFrom(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Float]]): DataFrame = {
     val assign = udf((v: Seq[Float]) => nearestCell(v, centroids))
     emb.select(col(idCol).as("id"), assign(col(vecCol)).as("cell"))
   }
@@ -239,8 +247,14 @@ object Similarity {
     * oracle dump as [[ivfCells]]. */
   def ivfProbes(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], nCells: Int = 16, nProbe: Int = 4,
-                iters: Int = 4): DataFrame = {
-    val centroids = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+                iters: Int = 4): DataFrame =
+    ivfProbesFrom(emb, idCol, vecCol, queryIds,
+      kmeansCentroids(emb, idCol, vecCol, nCells, iters), nProbe)
+
+  /** [[ivfProbes]] over a precomputed quantizer. */
+  def ivfProbesFrom(emb: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], centroids: Array[Array[Float]],
+                    nProbe: Int = 4): DataFrame = {
     val probes = udf((v: Seq[Float]) => nearestCells(v, centroids, nProbe))
     emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), probes(col(vecCol)).as("cells"))
@@ -255,8 +269,15 @@ object Similarity {
     * distribution; LSH needs no training pass). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nCells: Int = 16,
-              nProbe: Int = 4, iters: Int = 4): DataFrame = {
-    val centroids = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+              nProbe: Int = 4, iters: Int = 4): DataFrame =
+    ivfTopKFrom(emb, idCol, vecCol, queryIds, k,
+      kmeansCentroids(emb, idCol, vecCol, nCells, iters), nProbe)
+
+  /** [[ivfTopK]] over a precomputed quantizer. */
+  def ivfTopKFrom(emb: DataFrame, idCol: String, vecCol: String,
+                  queryIds: Seq[Long], k: Int,
+                  centroids: Array[Array[Float]],
+                  nProbe: Int = 4): DataFrame = {
     val assign = udf((v: Seq[Float]) => nearestCell(v, centroids))
     val probes = udf((v: Seq[Float]) => nearestCells(v, centroids, nProbe))
     val corpus = emb.select(col(idCol).as("neighbor_id"),

@@ -554,6 +554,13 @@ class OpsSpec extends AnyFunSuite {
     w32be(v1, 36, 1000) // timescale at mvhd+28
     w32be(v1, 40, 0); w32be(v1, 44, 2500) // u64 duration at mvhd+32
     assert(Multimodal.mp4Meta(v1).contains(2500L))
+    // adversarial u32 box size (0xFFFFFFFF): the walk must return None,
+    // not drive an Int cursor negative and throw out-of-bounds
+    val evil = new Array[Byte](64)
+    w32be(evil, 0, 16); tag(evil, 4, "ftyp")
+    w32be(evil, 16, 0xFFFFFFFFL); tag(evil, 20, "free")
+    assert(Multimodal.mp4Meta(evil).isEmpty)
+    assert(Multimodal.decodeStub(evil).duration_ms == 0L)
     // RIFF form types route correctly: AVI is sniffed but not demuxed
     val avi = "RIFF0000AVI LIST".getBytes
     assert(Multimodal.decodeStub(avi).kind == "video/avi")
