@@ -116,12 +116,19 @@ object SparkEntry {
     // S1+P5+P6+F1-F3+A1-A6: the flagship end-to-end extraction pipeline
     // over the synthesized Common-Crawl-style pages table (FIXTURES.md
     // §1.1). Route → parse → normalize → assemble → fields → confidence.
-    // Rows-only check (byte identity is the golden suite's job).
+    // Adjudicated via __OUT__ self-consistency: the oracle re-derives
+    // the whole confidence model (per-page scores from the assembled
+    // text's separator-delimited chunks, the >60 gate, the max(1,·)
+    // divide, the 95.0 text-path constant) plus pages/processed/low
+    // counts in DuckDB; byte identity of `text` stays the golden
+    // suite's job. `media_id` = xxhash64(url) links each row to the
+    // media table's id space for the m1 PDF page-count cross-check.
     "e2e_extract" -> ((s, dir) => {
       ocrspark.job.ExtractJob
         .run(ocrspark.job.Synth.pagesDF(s, dir))
         .drop("warc_ts") // timestamp not comparable across writers
         .withColumn("fields", fieldsJson(col("fields")))
+        .withColumn("media_id", xxhash64(col("url")))
         .orderBy(col("url"))
     }),
 
@@ -1441,8 +1448,182 @@ object SparkEntry {
     // WAV chunk / MP4 box walks as recursive CTEs (each mirroring the
     // Scala parser step-for-step), and the sampled 31-polynomial
     // content hash in mod-2^64 HUGEINT arithmetic.
-    "m1b_media_meta_nonpdf" ->
-      """WITH RECURSIVE p AS (
+    "m1b_media_meta_nonpdf" -> mediaMetaOracleSql(includePdf = false),
+
+    // M1: the full media table — same re-derivation, PDF rows
+    // included; a PDF's n_frames (page count) is cross-checked
+    // against the INDEPENDENT e2e_extract dump's `pages` column for
+    // the same url (media_id = xxhash64(url)) — the 579-line PDF
+    // parser's page count adjudicated against the full extraction
+    // pipeline's own parse of the same payload.
+    "m1_media_meta" -> mediaMetaOracleSql(includePdf = true),
+    // e2e_extract adjudicated via __OUT__ self-consistency: url/lang/
+    // bucket/media_id/text/fields/method/route/error relay from the dump
+    // (text byte-identity is the golden suite's contract; bucket/media_id
+    // are xxhash64, not reproducible in DuckDB), while the ENTIRE
+    // confidence model is re-derived from the dumped text alone — the
+    // OCR-path document is split back into per-page chunks on the
+    // "--- Página N de T ---" separators, each chunk re-scored with the
+    // deterministic page-confidence formula (0 for conversion-error
+    // placeholders, 50.0 for blank pages, else min(97, 55+42·alnumRatio)
+    // with Unicode letter/digit classes), the >60.0 gate re-applied in
+    // page order with the max(1,·)-guarded average, and pages /
+    // processed_pages / low_confidence_pages re-counted (pages for the
+    // OCR path = separator count — every page emits exactly one). The
+    // html path re-scores its whole text; text/upstream paths pin the
+    // 95.0 constant. Any drift between the assembled text and the
+    // confidence columns — in either direction — breaks the hash.
+    "e2e_extract" ->
+      """WITH e AS (
+        |  SELECT * FROM read_parquet('__OUT__/e2e_extract/*.parquet')
+        |), pc AS (
+        |  SELECT url, pg, chunk,
+        |    CASE WHEN chunk LIKE '[Error convirtiendo página%' THEN 0.0
+        |         WHEN regexp_matches(chunk,
+        |           '^[\t\n\x0b\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]*$')
+        |           THEN 50.0
+        |         ELSE least(97.0, 55.0
+        |           + 42.0 * length(regexp_replace(chunk, '[^\p{L}\p{Nd}]', '', 'g'))
+        |             / length(chunk))
+        |    END AS conf
+        |  FROM (
+        |    SELECT url, unnest(parts[2:]) AS chunk,
+        |      unnest(range(1, len(parts))) AS pg
+        |    FROM (
+        |      SELECT url, regexp_split_to_array(text,
+        |        '\n\n--- Página \d+ de \d+ ---\n\n') AS parts
+        |      FROM e WHERE method = 'advanced_ocr' AND error IS NULL
+        |    )
+        |  )
+        |), dc AS (
+        |  SELECT url,
+        |    count(*) AS n_seps,
+        |    count(*) FILTER (WHERE conf > 60.0) AS n_proc,
+        |    list_reduce(
+        |      list_prepend(0.0, list(conf ORDER BY pg) FILTER (WHERE conf > 60.0)),
+        |      (a, b) -> a + b)
+        |      / greatest(1, count(*) FILTER (WHERE conf > 60.0)) AS conf_avg
+        |  FROM pc GROUP BY url
+        |), hc AS (
+        |  SELECT url,
+        |    CASE WHEN regexp_matches(text,
+        |           '^[\t\n\x0b\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]*$')
+        |           THEN 50.0
+        |         ELSE least(97.0, 55.0
+        |           + 42.0 * length(regexp_replace(text, '[^\p{L}\p{Nd}]', '', 'g'))
+        |             / length(text))
+        |    END AS conf
+        |  FROM e WHERE method = 'html_extraction'
+        |)
+        |SELECT e.url, e.lang, e.bucket, e.media_id, e.text, e.fields,
+        |  e.method, e.route, e.error,
+        |  CAST(CASE WHEN e.method IN ('text_extraction_enhanced','upstream_text')
+        |              THEN e.pages
+        |            WHEN e.method = 'html_extraction' THEN 1
+        |            WHEN e.method = 'advanced_ocr' AND e.error IS NULL
+        |              THEN d.n_seps
+        |            ELSE 0 END AS INT) AS pages,
+        |  CASE WHEN e.method IN ('text_extraction_enhanced','upstream_text')
+        |         THEN 95.0
+        |       WHEN e.method = 'html_extraction' THEN h.conf
+        |       WHEN e.method = 'advanced_ocr' AND e.error IS NULL
+        |         THEN d.conf_avg
+        |       ELSE 0.0 END AS confidence,
+        |  CAST(CASE WHEN e.method = 'text_extraction_enhanced' THEN e.pages
+        |            WHEN e.method = 'upstream_text' THEN 1
+        |            WHEN e.method = 'html_extraction'
+        |              THEN CASE WHEN h.conf > 60.0 THEN 1 ELSE 0 END
+        |            WHEN e.method = 'advanced_ocr' AND e.error IS NULL
+        |              THEN d.n_proc
+        |            ELSE 0 END AS INT) AS processed_pages,
+        |  CAST(CASE WHEN e.method = 'html_extraction'
+        |              THEN CASE WHEN h.conf > 60.0 THEN 0 ELSE 1 END
+        |            WHEN e.method = 'advanced_ocr' AND e.error IS NULL
+        |              THEN d.n_seps - d.n_proc
+        |            ELSE 0 END AS INT) AS low_confidence_pages
+        |FROM e
+        |LEFT JOIN dc d ON d.url = e.url
+        |LEFT JOIN hc h ON h.url = e.url
+        |ORDER BY e.url""".stripMargin,
+
+    // p5c re-derived from the e2e_extract dump: the analyze fast path's
+    // route counts must equal the full extraction's per-doc routes.
+    "p5c_routing_counts" ->
+      """SELECT route, count(*) AS n_docs
+        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')
+        |GROUP BY route ORDER BY route""".stripMargin,
+    // a5 re-derived from the e2e_extract dump: the batch counters are a
+    // pure aggregation over the per-doc extraction output, so DuckDB
+    // recomputing them from the dumped rows cross-checks the metrics
+    // stage against the extraction stage.
+    "a5_batch_summary" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS successful,
+        |  CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS failed,
+        |  CAST(sum(CASE WHEN route = 'text_extraction' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS route_text,
+        |  CAST(sum(CASE WHEN route = 'hybrid' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS route_hybrid,
+        |  CAST(sum(CASE WHEN route = 'ocr' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS route_ocr,
+        |  CAST(sum(CASE WHEN method = 'html_extraction' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS route_html,
+        |  CAST(sum(CAST(pages AS BIGINT)) AS BIGINT) AS total_pages,
+        |  round(avg(confidence), 4) AS avg_confidence
+        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')""".stripMargin,
+    // o12 re-derived from the e2e_extract dump: lineage must show
+    // snapshot 1 for buckets <20 (committed by the first partial run), 2
+    // for the rest, and per-bucket doc counts equal to the extraction
+    // output's bucket histogram — an independent derivation because o12
+    // runs its own two-phase incremental job against the lake while
+    // e2e_extract is a one-shot batch over the same pages.
+    "o12_resume_lineage" ->
+      """SELECT bucket,
+        |  CAST(CASE WHEN bucket < 20 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS snapshot_id,
+        |  count(*) AS n_docs
+        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+
+  /** DuckDB re-derivation of the media-metadata table from the dumped
+    * payload hex (m1s_payloads): magic-byte sniff, fixed-offset
+    * PNG/GIF/BMP dims, TIFF IFD0 entry scan (both byte orders), the
+    * JPEG SOF segment walk, the WAV chunk walk, the MP4 mvhd walk and
+    * the moov→trak→mdia→minf→stbl→stts descent as recursive CTEs
+    * (each mirroring the Scala parser step-for-step), and the sampled
+    * 31-polynomial content hash in mod-2^64 HUGEINT arithmetic.
+    * `includePdf=false` is the m1b slice; `includePdf=true` adds PDF
+    * rows with n_frames taken from the e2e_extract dump (independent
+    * cross-check of the PDF page count). */
+  private def mediaMetaOracleSql(includePdf: Boolean): String = {
+    // SQL fragments reading bytes out of the hex dump (1-based substr):
+    // hb = unsigned byte at 0-based offset `pos`, u16/u32 in each order.
+    def hb(pos: String): String =
+      s"((strpos('0123456789ABCDEF', substr(hx, 2*($pos)+1, 1))-1)*16 + " +
+        s"(strpos('0123456789ABCDEF', substr(hx, 2*($pos)+2, 1))-1))"
+    def u16le(p: String) = s"(${hb(p)} + ${hb(s"($p)+1")}*256)"
+    def u16be(p: String) = s"(${hb(p)}*256 + ${hb(s"($p)+1")})"
+    def u32le(p: String) =
+      s"(${hb(p)} + ${hb(s"($p)+1")}*256 + ${hb(s"($p)+2")}*65536 + ${hb(s"($p)+3")}*16777216)"
+    def u32be(p: String) =
+      s"(${hb(p)}*16777216 + ${hb(s"($p)+1")}*65536 + ${hb(s"($p)+2")}*256 + ${hb(s"($p)+3")})"
+    // PDF rows (includePdf): n_frames = page count, cross-checked against
+    // the e2e_extract dump's independent parse of the same payload.
+    val pdfJoinLine =
+      if (includePdf)
+        "LEFT JOIN (SELECT media_id, pages\n        " +
+          "|           FROM read_parquet('__OUT__/e2e_extract/*.parquet')) pd\n        " +
+          "|  ON pd.media_id = k.id\n        |"
+      else ""
+    val pdfFramesLine =
+      if (includePdf)
+        "WHEN k.kind = 'application/pdf' THEN coalesce(pd.pages, 0)\n        |            "
+      else ""
+    val whereLine = if (includePdf) "" else "WHERE k.kind <> 'application/pdf'\n        |"
+    s"""WITH RECURSIVE p AS (
         |  SELECT id, hx, n FROM read_parquet('__OUT__/m1s_payloads/*.parquet')
         |), k AS (
         |  SELECT id, hx, n,
@@ -1588,6 +1769,53 @@ object SparkEntry {
         |           arg_max(datab, pos) AS datab
         |    FROM ww GROUP BY id
         |  ) f ON f.id = w0.id
+        |), traw AS (
+        |  -- TIFF IFD0 scan (mirrors Multimodal.tiffDims; no recursion —
+        |  -- IFD0 is a flat entry table at the header's u32 offset)
+        |  SELECT id, hx, n, (substr(hx,1,2) = '49') AS lil,
+        |    CASE WHEN substr(hx,1,2) = '49' THEN ${u32le("4")}
+        |         ELSE ${u32be("4")} END AS ifd
+        |  FROM k WHERE kind = 'image/tiff' AND n >= 8
+        |), tent AS (
+        |  SELECT id, e, lil, hx, n, ifd, ifd + 2 + 12*e AS ep
+        |  FROM (
+        |    SELECT id, hx, n, lil, ifd,
+        |      unnest(range(CAST(CASE WHEN ifd >= 8 AND ifd + 2 <= n
+        |        THEN (CASE WHEN lil THEN ${u16le("ifd")}
+        |                   ELSE ${u16be("ifd")} END)
+        |        ELSE 0 END AS BIGINT))) AS e
+        |    FROM traw
+        |  ) WHERE ifd + 2 + 12*(e+1) <= n
+        |), tval AS (
+        |  -- entry value accepted iff SHORT (u16 left-justified) or LONG
+        |  -- within Int range — same acceptance rule as the Scala walk
+        |  SELECT id, e,
+        |    CASE WHEN lil THEN ${u16le("ep")} ELSE ${u16be("ep")} END AS tag,
+        |    CASE WHEN typ = 3
+        |           THEN CASE WHEN lil THEN ${u16le("(ep)+8")}
+        |                     ELSE ${u16be("(ep)+8")} END
+        |         WHEN typ = 4 AND (CASE WHEN lil THEN ${u32le("(ep)+8")}
+        |                    ELSE ${u32be("(ep)+8")} END) <= 2147483647
+        |           THEN CASE WHEN lil THEN ${u32le("(ep)+8")}
+        |                     ELSE ${u32be("(ep)+8")} END
+        |         ELSE NULL END AS val
+        |  FROM (SELECT id, e, lil, hx, ep,
+        |          CASE WHEN lil THEN ${u16le("(ep)+2")}
+        |               ELSE ${u16be("(ep)+2")} END AS typ
+        |        FROM tent)
+        |), tdims AS (
+        |  SELECT t0.id,
+        |    CASE WHEN coalesce(tw.w, 0) > 0 AND coalesce(th.h, 0) > 0
+        |         THEN tw.w ELSE 0 END AS w,
+        |    CASE WHEN coalesce(tw.w, 0) > 0 AND coalesce(th.h, 0) > 0
+        |         THEN th.h ELSE 0 END AS h
+        |  FROM (SELECT DISTINCT id FROM k WHERE kind = 'image/tiff') t0
+        |  LEFT JOIN (SELECT id, arg_max(val, e) AS w FROM tval
+        |             WHERE tag = 256 AND val IS NOT NULL GROUP BY id) tw
+        |    ON tw.id = t0.id
+        |  LEFT JOIN (SELECT id, arg_max(val, e) AS h FROM tval
+        |             WHERE tag = 257 AND val IS NOT NULL GROUP BY id) th
+        |    ON th.id = t0.id
         |), mv1 AS (
         |  -- top-level box walk to moov (mirrors Multimodal.mp4Meta findBox)
         |  SELECT id, hx, n, 0::BIGINT AS pos, 0 AS st,
@@ -1676,6 +1904,51 @@ object SparkEntry {
         |      )
         |    ) GROUP BY id, n
         |  ) f ON f.id = m0.id
+        |), sp AS (
+        |  -- first-match descent moov→trak→mdia→minf→stbl→stts (mirrors
+        |  -- Multimodal.mp4FrameCount: no backtracking; a size<8 box or a
+        |  -- search range exhausting itself ends the walk unfound)
+        |  SELECT id, hx, n, 0 AS depth, 0::BIGINT AS spos,
+        |    CAST(n AS BIGINT) AS lim, 0 AS sst,
+        |    0::BIGINT AS sbox, 0::BIGINT AS sbend
+        |  FROM k WHERE kind = 'video/mp4'
+        |  UNION ALL
+        |  SELECT id, hx, n,
+        |    CASE WHEN hit THEN depth + 1 ELSE depth END AS depth,
+        |    CASE WHEN hit THEN spos + 8 ELSE spos + sz END AS spos,
+        |    CASE WHEN hit THEN least(lim, spos + sz) ELSE lim END AS lim,
+        |    CASE WHEN hit AND depth = 5 THEN 1 ELSE 0 END AS sst,
+        |    CASE WHEN hit AND depth = 5 THEN spos ELSE 0::BIGINT END AS sbox,
+        |    CASE WHEN hit AND depth = 5 THEN least(lim, spos + sz)
+        |         ELSE 0::BIGINT END AS sbend
+        |  FROM (
+        |    SELECT *, (sz >= 8 AND tag8 = (['6D6F6F76','7472616B','6D646961',
+        |      '6D696E66','7374626C','73747473'])[depth + 1]) AS hit
+        |    FROM (
+        |      SELECT id, hx, n, depth, spos, lim, sst,
+        |        ${u32be("spos")} AS sz, substr(hx, 2*spos+9, 8) AS tag8
+        |      FROM sp WHERE sst = 0 AND spos + 8 <= lim
+        |    )
+        |  ) WHERE sz >= 8
+        |), smeta AS (
+        |  -- frame count = sum of stts entries' sample_count fields; a
+        |  -- truncated entry table degrades to 0, never a partial sum
+        |  SELECT s0.id, coalesce(f2.frames, 0) AS frames
+        |  FROM (SELECT DISTINCT id FROM k WHERE kind = 'video/mp4') s0
+        |  LEFT JOIN (
+        |    SELECT id,
+        |      CASE WHEN sbox + 16 <= least(sbend, n)
+        |             AND sbox + 16 + ec*8 <= least(sbend, n)
+        |           THEN CAST(coalesce(list_sum(list_transform(
+        |             range(CAST(CASE WHEN sbox + 16 + ec*8 <= least(sbend, n)
+        |                        THEN ec ELSE 0 END AS BIGINT)),
+        |             e -> ${u32be("sbox+16+8*e")})), 0) AS BIGINT)
+        |           ELSE 0 END AS frames
+        |    FROM (
+        |      SELECT id, hx, n, sbox, sbend, ${u32be("(sbox)+12")} AS ec
+        |      FROM sp WHERE sst = 1
+        |    )
+        |  ) f2 ON f2.id = s0.id
         |), ch AS (
         |  SELECT id,
         |    CASE WHEN kind = 'empty' THEN 0
@@ -1703,12 +1976,16 @@ object SparkEntry {
         |)
         |SELECT k.id, k.kind,
         |  CAST(CASE WHEN k.kind IN ('image/png','image/gif','image/bmp') THEN fd.wh[1]
-        |            WHEN k.kind = 'image/jpeg' THEN jd.w ELSE 0 END AS INT) AS width,
+        |            WHEN k.kind = 'image/jpeg' THEN jd.w
+        |            WHEN k.kind = 'image/tiff' THEN td.w ELSE 0 END AS INT) AS width,
         |  CAST(CASE WHEN k.kind IN ('image/png','image/gif','image/bmp') THEN fd.wh[2]
-        |            WHEN k.kind = 'image/jpeg' THEN jd.h ELSE 0 END AS INT) AS height,
+        |            WHEN k.kind = 'image/jpeg' THEN jd.h
+        |            WHEN k.kind = 'image/tiff' THEN td.h ELSE 0 END AS INT) AS height,
         |  CAST(CASE WHEN k.kind IN ('image/png','image/jpeg','image/gif','image/bmp',
         |                            'image/tiff') THEN 1
-        |            WHEN k.kind = 'audio/wav' THEN wm.frames ELSE 0 END AS INT)
+        |            WHEN k.kind = 'audio/wav' THEN wm.frames
+        |            WHEN k.kind = 'video/mp4' THEN least(sm.frames, 2147483647)
+        |            ${pdfFramesLine}ELSE 0 END AS INT)
         |    AS n_frames,
         |  CAST(CASE WHEN k.kind = 'audio/wav' THEN wm.dur
         |            WHEN k.kind = 'video/mp4' THEN mm.dur ELSE 0 END AS BIGINT)
@@ -1718,50 +1995,11 @@ object SparkEntry {
         |FROM k
         |LEFT JOIN fixdims fd ON fd.id = k.id
         |LEFT JOIN jdims jd ON jd.id = k.id
+        |LEFT JOIN tdims td ON td.id = k.id
         |LEFT JOIN wmeta wm ON wm.id = k.id
         |LEFT JOIN mmeta mm ON mm.id = k.id
-        |JOIN ch ON ch.id = k.id
-        |WHERE k.kind <> 'application/pdf'
-        |ORDER BY k.id""".stripMargin,
-    // p5c re-derived from the e2e_extract dump: the analyze fast path's
-    // route counts must equal the full extraction's per-doc routes.
-    "p5c_routing_counts" ->
-      """SELECT route, count(*) AS n_docs
-        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')
-        |GROUP BY route ORDER BY route""".stripMargin,
-    // a5 re-derived from the e2e_extract dump: the batch counters are a
-    // pure aggregation over the per-doc extraction output, so DuckDB
-    // recomputing them from the dumped rows cross-checks the metrics
-    // stage against the extraction stage.
-    "a5_batch_summary" ->
-      """SELECT CAST(count(*) AS BIGINT) AS docs_in,
-        |  CAST(sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS successful,
-        |  CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS failed,
-        |  CAST(sum(CASE WHEN route = 'text_extraction' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS route_text,
-        |  CAST(sum(CASE WHEN route = 'hybrid' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS route_hybrid,
-        |  CAST(sum(CASE WHEN route = 'ocr' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS route_ocr,
-        |  CAST(sum(CASE WHEN method = 'html_extraction' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS route_html,
-        |  CAST(sum(CAST(pages AS BIGINT)) AS BIGINT) AS total_pages,
-        |  round(avg(confidence), 4) AS avg_confidence
-        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')""".stripMargin,
-    // o12 re-derived from the e2e_extract dump: lineage must show
-    // snapshot 1 for buckets <20 (committed by the first partial run), 2
-    // for the rest, and per-bucket doc counts equal to the extraction
-    // output's bucket histogram — an independent derivation because o12
-    // runs its own two-phase incremental job against the lake while
-    // e2e_extract is a one-shot batch over the same pages.
-    "o12_resume_lineage" ->
-      """SELECT bucket,
-        |  CAST(CASE WHEN bucket < 20 THEN 1 ELSE 2 END AS BIGINT)
-        |    AS snapshot_id,
-        |  count(*) AS n_docs
-        |FROM read_parquet('__OUT__/e2e_extract/*.parquet')
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
-  )
+        |LEFT JOIN smeta sm ON sm.id = k.id
+        |${pdfJoinLine}JOIN ch ON ch.id = k.id
+        |${whereLine}ORDER BY k.id""".stripMargin
+  }
 }

@@ -313,11 +313,20 @@ object Synth {
   /** Closed-form MP4 duration (ms) for cohort member i. */
   def mp4DurationMs(i: Long): Long = 100L * (i % 50 + 5)
 
+  /** Closed-form MP4 frame count for cohort member i — the sum of the
+    * two stts entries [[mp4For]] writes ((frames−5, delta 512) and
+    * (5, delta 256)), so tests exercise real multi-entry summation. */
+  def mp4Frames(i: Long): Long = 12L + 3L * (i % 16)
+
   /** Deterministic minimal MP4: ftyp + moov(mvhd v0 with timescale 600
-    * and duration 600·durationMs/1000) + an mdat filler box. */
+    * and duration 600·durationMs/1000, plus a trak→mdia→minf→stbl→stts
+    * tree whose two stts entries sum to [[mp4Frames]]) + an mdat filler
+    * box. */
   def mp4For(i: Long): Array[Byte] = {
     val mdat = 256
-    val out = new Array[Byte](16 + 116 + 8 + mdat)
+    // moov = 8 + mvhd(108) + trak(64); trak = 8 + mdia(56);
+    // mdia = 8 + minf(48); minf = 8 + stbl(40); stbl = 8 + stts(32)
+    val out = new Array[Byte](16 + 180 + 8 + mdat)
     def w32be(o: Int, v: Long): Unit = {
       out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
       out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
@@ -325,7 +334,7 @@ object Synth {
     def tag(o: Int, s: String): Unit =
       (0 until 4).foreach(j => out(o + j) = s(j).toByte)
     w32be(0, 16); tag(4, "ftyp"); tag(8, "isom"); w32be(12, 0)
-    w32be(16, 116); tag(20, "moov")
+    w32be(16, 180); tag(20, "moov")
     w32be(24, 108); tag(28, "mvhd") // v0 mvhd is 108 bytes
     // +8 version/flags = 0; creation/modification 0
     w32be(44, 600) // timescale (ticks/sec)
@@ -333,9 +342,19 @@ object Synth {
     w32be(52, 0x00010000L) // rate 1.0
     // volume/reserved/matrix/predefined stay 0; next_track_id:
     w32be(128, 2)
-    w32be(132, mdat + 8L); tag(136, "mdat")
+    w32be(132, 64); tag(136, "trak")
+    w32be(140, 56); tag(144, "mdia")
+    w32be(148, 48); tag(152, "minf")
+    w32be(156, 40); tag(160, "stbl")
+    w32be(164, 32); tag(168, "stts")
+    // stts: version/flags 0 at 172, entry_count 2 at 176, then
+    // (sample_count, sample_delta) pairs
+    w32be(176, 2)
+    w32be(180, mp4Frames(i) - 5); w32be(184, 512)
+    w32be(188, 5); w32be(192, 256)
+    w32be(196, mdat + 8L); tag(200, "mdat")
     var x = i * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
-    var j = 140
+    var j = 204
     while (j < out.length) {
       x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
       out(j) = x.toByte
@@ -344,18 +363,71 @@ object Synth {
     out
   }
 
-  /** Auxiliary a/v media table for the multimodal queries: `n` WAV and
-    * `n` MP4 payloads under negative ids (disjoint from the pages
-    * table's xxhash64 ids), built distributed — no driver-side byte
-    * arrays. Unioned with the pages-derived media in m1/m2 so the
-    * metadata engine is exercised on every container it parses. */
+  /** Closed-form TIFF dimensions for cohort member i. */
+  def tiffDims(i: Long): (Int, Int) =
+    (640 + 16 * (i % 8).toInt, 480 + 12 * (i % 5).toInt)
+
+  /** Deterministic TIFF: real header + IFD0 with ImageWidth/ImageLength
+    * carrying [[tiffDims]]; alternates byte order (even i little-endian
+    * `II*\0`, odd big-endian `MM\0*`) AND tag value type (even LONG,
+    * odd SHORT) so both reader paths are exercised; strip data is
+    * SplitMix64 filler (pixels never decoded). */
+  def tiffFor(i: Long): Array[Byte] = {
+    val little = i % 2 == 0
+    val n = 38 + 128 + (i % 7).toInt * 32
+    val out = new Array[Byte](n)
+    def w16(o: Int, v: Int): Unit =
+      if (little) { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte }
+      else { out(o) = (v >>> 8).toByte; out(o + 1) = v.toByte }
+    def w32(o: Int, v: Long): Unit =
+      if (little) {
+        out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+        out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+      } else {
+        out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+        out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      }
+    if (little) { out(0) = 'I'; out(1) = 'I'; out(2) = 0x2A; out(3) = 0 }
+    else { out(0) = 'M'; out(1) = 'M'; out(2) = 0; out(3) = 0x2A }
+    w32(4, 8) // IFD0 offset
+    val (w, h) = tiffDims(i)
+    val typ = if (little) 4 else 3 // LONG vs SHORT value encoding
+    w16(8, 2) // entry count
+    w16(10, 256); w16(12, typ); w32(14, 1) // ImageWidth
+    if (typ == 4) w32(18, w) else w16(18, w)
+    w16(22, 257); w16(24, typ); w32(26, 1) // ImageLength
+    if (typ == 4) w32(30, h) else w16(30, h)
+    w32(34, 0) // next-IFD offset: none
+    var x = i * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+    var j = 38
+    while (j < out.length) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      out(j) = x.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Auxiliary a/v+tiff media table for the multimodal queries: `n`
+    * WAV, `n` MP4, and `n` TIFF payloads under negative ids, built
+    * distributed — no driver-side byte arrays. Unioned with the
+    * pages-derived media in m1/m2 so the metadata engine is exercised
+    * on every container it parses. The negative id space overlaps
+    * xxhash64(url) in principle (xxhash64 is full-range), but a
+    * collision with these 3n specific ids has probability 3n/2^64 per
+    * url — astronomically unlikely, and harmless (the union would
+    * merely carry two rows with one id). */
   def avMediaDF(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    spark.range(0, n.toLong * 2)
+    spark.range(0, n.toLong * 3)
       .as[Long]
       .map { i =>
-        val id = -(i + 1) // negative: never collides with xxhash64(url)
-        val bytes = if (i % 2 == 0) wavFor(i / 2) else mp4For(i / 2)
+        val id = -(i + 1)
+        val bytes = (i % 3) match {
+          case 0 => wavFor(i / 3)
+          case 1 => mp4For(i / 3)
+          case _ => tiffFor(i / 3)
+        }
         (id, bytes)
       }
       .toDF("id", "html")

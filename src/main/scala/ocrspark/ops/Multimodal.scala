@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Metadata extraction is REAL for every format whose header is
   * parseable in pure JDK: PNG (IHDR), GIF (logical screen descriptor),
-  * BMP (info/core header), JPEG (SOF segment scan), PDF (page count via
+  * BMP (info/core header), JPEG (SOF segment scan), TIFF (IFD0
+  * ImageWidth/ImageLength walk, both byte orders), PDF (page count via
   * the engine's own parser), WAV (RIFF fmt/data chunk walk → sample
-  * frames + duration), and MP4 (moov/mvhd walk → duration). Full
+  * frames + duration), and MP4 (moov/mvhd walk → duration;
+  * moov→trak→mdia→minf→stbl→stts walk → frame count). Full
   * pixel/sample decode needs codecs that are NOT in this sandbox;
-  * fields a header genuinely doesn't carry (AVI without a demuxer, MP4
-  * frame count without a per-track stts walk) report honest zeros,
-  * never fabricated values. The Spark plumbing — schema, batch
-  * iteration shape (mapPartitions ≈ mapInPandas batches), partitioning,
-  * the explode for frame sampling — is production shaped throughout.
+  * fields a header genuinely doesn't carry (AVI without a demuxer)
+  * report honest zeros, never fabricated values. The Spark plumbing —
+  * schema, batch iteration shape (mapPartitions ≈ mapInPandas batches),
+  * partitioning, the explode for frame sampling — is production shaped
+  * throughout.
   */
 object Multimodal {
 
@@ -126,30 +128,73 @@ object Multimodal {
     else Some((dataBytes / blockAlign, dataBytes * 1000L / byteRate))
   }
 
-  /** ISO-BMFF (MP4) box walk to `moov/mvhd`: boxes are [u32be size]
-    * [4cc]; mvhd v0 holds timescale at +20 and duration at +24, v1
-    * (64-bit times) at +28/+32. Duration is mvhd duration·1000/
-    * timescale ms. Returns None when moov/mvhd is absent/truncated. */
-  private[ops] def mp4Meta(b: Array[Byte]): Option[Long] = {
-    def findBox(tag: String, from: Int, to: Int): Option[(Int, Int)] = {
-      // Long cursor (like wavMeta): a corrupt u32 size field ≥ 2^31
-      // would drive an Int cursor negative and index out of bounds —
-      // the walk must degrade to None on adversarial sizes, never throw
-      var i = from.toLong
-      while (i + 8 <= to) {
-        val off = i.toInt
-        val size = be32(b, off)
-        if (size < 8) return None // size 0/1 (to-eof, largesize) unsupported
-        if (b(off + 4) == tag(0) && b(off + 5) == tag(1) &&
-          b(off + 6) == tag(2) && b(off + 7) == tag(3))
-          return Some((off, math.min(to.toLong, i + size).toInt))
-        i += size
+  /** TIFF IFD0 walk: byte order from the magic (`II*\0` little /
+    * `MM\0*` big), IFD offset as u32 at bytes 4-7, then `count` 12-byte
+    * entries [tag u16][type u16][count u32][value]. ImageWidth is tag
+    * 256, ImageLength tag 257; each may be stored as SHORT (type 3 —
+    * the u16 left-justified in the value field) or LONG (type 4, u32;
+    * values past Int.MaxValue are treated as unparseable). Entries
+    * whose 12 bytes run past the buffer end the walk (truncated IFD);
+    * a repeated tag is last-wins like a sequential reader. Returns None
+    * unless BOTH dimensions were found positive. */
+  private[ops] def tiffDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 8) return None
+    val little = b(0) == 'I'
+    def u16o(i: Int): Int = if (little) le16(b, i) else be16(b, i)
+    def u32o(i: Int): Long = if (little) le32(b, i) else be32(b, i)
+    val ifd = u32o(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val off = ifd.toInt
+    val cnt = u16o(off)
+    var w = 0L
+    var h = 0L
+    var e = 0
+    while (e < cnt && ifd + 2 + 12L * (e + 1) <= b.length) {
+      val p = off + 2 + 12 * e
+      val tag = u16o(p)
+      val typ = u16o(p + 2)
+      val v: Long =
+        if (typ == 3) u16o(p + 8).toLong
+        else if (typ == 4 && u32o(p + 8) <= Int.MaxValue) u32o(p + 8)
+        else -1L
+      if (v >= 0) {
+        if (tag == 256) w = v else if (tag == 257) h = v
       }
-      None
+      e += 1
     }
+    if (w > 0 && h > 0) Some((w.toInt, h.toInt)) else None
+  }
+
+  /** First-match ISO-BMFF box scan in [from, to): boxes are [u32be size]
+    * [4cc]. Long cursor (like wavMeta): a corrupt u32 size field ≥ 2^31
+    * would drive an Int cursor negative and index out of bounds — the
+    * walk must degrade to None on adversarial sizes, never throw. */
+  private def findBox(b: Array[Byte], tag: String,
+                      from: Int, to: Int): Option[(Int, Int)] = {
+    var i = from.toLong
+    while (i + 8 <= to) {
+      val off = i.toInt
+      val size = be32(b, off)
+      if (size < 8) return None // size 0/1 (to-eof, largesize) unsupported
+      if (b(off + 4) == tag(0) && b(off + 5) == tag(1) &&
+        b(off + 6) == tag(2) && b(off + 7) == tag(3))
+        return Some((off, math.min(to.toLong, i + size).toInt))
+      i += size
+    }
+    None
+  }
+
+  /** ISO-BMFF (MP4) box walk to `moov/mvhd`: mvhd v0 holds timescale at
+    * +20 and duration at +24, v1 (64-bit times) at +28/+32. Duration is
+    * mvhd duration·1000/timescale ms. Returns None when moov/mvhd is
+    * absent/truncated — including a payload that ends exactly at the
+    * mvhd size+tag (the version byte at mv+8 is only read once proven
+    * in-bounds). */
+  private[ops] def mp4Meta(b: Array[Byte]): Option[Long] = {
     for {
-      (moov, moovEnd) <- findBox("moov", 0, b.length)
-      (mv, mvEnd) <- findBox("mvhd", moov + 8, moovEnd)
+      (moov, moovEnd) <- findBox(b, "moov", 0, b.length)
+      (mv, mvEnd) <- findBox(b, "mvhd", moov + 8, moovEnd)
+      if mv + 9 <= math.min(mvEnd, b.length) // version byte in bounds
       version = u8(b, mv + 8)
       tsOff = if (version == 1) mv + 28 else mv + 20
       need = tsOff + (if (version == 1) 12 else 8) // u64 duration in v1
@@ -162,13 +207,47 @@ object Multimodal {
     } yield duration * 1000L / timescale
   }
 
+  /** ISO-BMFF sample-count walk: first-match descent along
+    * moov→trak→mdia→minf→stbl→stts (no backtracking — the first `trak`
+    * box decides, like every [[findBox]] step; multi-trak files whose
+    * FIRST trak lacks the path report None), then the frame count is
+    * the sum of the stts entries' sample_count fields:
+    * [u32 version/flags][u32 entry_count][(u32 sample_count,
+    * u32 sample_delta)*] from stts+8. A truncated entry table degrades
+    * to None, never a partial sum. */
+  private[ops] def mp4FrameCount(b: Array[Byte]): Option[Long] = {
+    val path = Array("moov", "trak", "mdia", "minf", "stbl", "stts")
+    var from = 0
+    var to = b.length
+    var box = -1
+    var bend = -1
+    var i = 0
+    while (i < path.length) {
+      findBox(b, path(i), from, to) match {
+        case Some((o, e)) => box = o; bend = e; from = o + 8; to = e; i += 1
+        case None => return None
+      }
+    }
+    val lim = math.min(bend, b.length)
+    if (box + 16 > lim) return None
+    val entries = be32(b, box + 12)
+    if (box + 16 + entries * 8L > lim) return None
+    var s = 0L
+    var e = 0L
+    while (e < entries) {
+      s += be32(b, box + 16 + 8 * e.toInt)
+      e += 1
+    }
+    Some(s)
+  }
+
   /** Decode the payload's typed metadata: container kind from magic
     * bytes, then a REAL header parse per format (see object doc). A
     * payload whose header is truncated/corrupt reports 0×0 / zero
-    * duration — honest unknown, never fabricated. (The name is
-    * historical: only pixel/sample decode remains out of scope, because
-    * the sandbox has no codecs; every metadata field is parsed.) */
-  def decodeStub(bytes: Array[Byte]): MediaMeta = {
+    * duration — honest unknown, never fabricated. Only pixel/sample
+    * decode is out of scope (no codecs in the sandbox); every metadata
+    * field is parsed. */
+  def decodeMedia(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length == 0)
       return MediaMeta("empty", 0, 0, 0, 0L, 0L, 0L)
     var h = 1125899906842597L
@@ -203,8 +282,10 @@ object Multimodal {
         }
         val (w, ht) = dims.getOrElse((0, 0))
         MediaMeta(kind, w, ht, 1, 0L, bytes.length.toLong, h)
-      case "image/tiff" => // IFD walk needs the full directory; report unknown dims
-        MediaMeta(kind, 0, 0, 1, 0L, bytes.length.toLong, h)
+      case "image/tiff" =>
+        // real IFD0 walk (ImageWidth/ImageLength tags, both byte orders)
+        val (w, ht) = tiffDims(bytes).getOrElse((0, 0))
+        MediaMeta(kind, w, ht, 1, 0L, bytes.length.toLong, h)
       case "application/pdf" =>
         // page count via the engine's own parser (no text extraction)
         val pages = ocrspark.parse.PdfExtract.parse(bytes, maxTextPages = 0)
@@ -217,10 +298,11 @@ object Multimodal {
           math.min(frames, Int.MaxValue.toLong).toInt, dur,
           bytes.length.toLong, h)
       case "video/mp4" =>
-        // real moov/mvhd walk; frame count needs a per-track stts walk
-        // the container header alone doesn't give — honest 0
-        MediaMeta(kind, 0, 0, 0, mp4Meta(bytes).getOrElse(0L),
-          bytes.length.toLong, h)
+        // real moov/mvhd walk (duration) + stts walk (frame count)
+        val frames = mp4FrameCount(bytes).getOrElse(0L)
+        MediaMeta(kind, 0, 0,
+          math.min(frames, Int.MaxValue.toLong).toInt,
+          mp4Meta(bytes).getOrElse(0L), bytes.length.toLong, h)
       case _ => // avi (no demuxer), tiff tail, unknown: honest zeros
         MediaMeta(kind, 0, 0, 0, 0L, bytes.length.toLong, h)
     }
@@ -239,7 +321,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (decoder handles, buffers)
-        it.map { case (id, bytes) => (id, decodeStub(bytes)) }
+        it.map { case (id, bytes) => (id, decodeMedia(bytes)) }
       }
       .toDF(idCol, "media")
       .select(col(idCol), col("media.*"))

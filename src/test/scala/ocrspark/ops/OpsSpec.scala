@@ -495,7 +495,7 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.jpegDims(Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF,
       0xFF, 0xFF).map(_.toByte)).isEmpty)
     // decode surfaces the parsed dims and a single frame
-    val m = Multimodal.decodeStub(png)
+    val m = Multimodal.decodeMedia(png)
     assert(m.kind == "image/png" && m.width == pw && m.height == ph &&
       m.n_frames == 1)
   }
@@ -504,7 +504,7 @@ class OpsSpec extends AnyFunSuite {
     // synth cohort: closed-form geometry (8 kHz mono 16-bit, frames%8==0)
     for (i <- 0L until 16L) {
       val (frames, durMs) = ocrspark.job.Synth.wavSpec(i)
-      val m = Multimodal.decodeStub(ocrspark.job.Synth.wavFor(i))
+      val m = Multimodal.decodeMedia(ocrspark.job.Synth.wavFor(i))
       assert(m.kind == "audio/wav" && m.n_frames == frames &&
         m.duration_ms == durMs, s"wav $i: $m")
     }
@@ -527,20 +527,21 @@ class OpsSpec extends AnyFunSuite {
     // headerless RIFF junk is an honest unknown
     val junk = "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](20)(0x7F)
     assert(Multimodal.wavMeta(junk).isEmpty)
-    assert(Multimodal.decodeStub(junk).duration_ms == 0L)
+    assert(Multimodal.decodeMedia(junk).duration_ms == 0L)
   }
 
   test("mp4 metadata: real moov/mvhd walk — duration from timescale ticks") {
     for (i <- 0L until 16L) {
-      val m = Multimodal.decodeStub(ocrspark.job.Synth.mp4For(i))
+      val m = Multimodal.decodeMedia(ocrspark.job.Synth.mp4For(i))
       assert(m.kind == "video/mp4" &&
         m.duration_ms == ocrspark.job.Synth.mp4DurationMs(i), s"mp4 $i: $m")
-      assert(m.n_frames == 0) // no stts walk: honest unknown, not a guess
+      // frame count = sum of the two stts entries' sample counts
+      assert(m.n_frames == ocrspark.job.Synth.mp4Frames(i), s"mp4 $i: $m")
     }
     // truncation before moov → honest zero duration
     val cut = java.util.Arrays.copyOf(ocrspark.job.Synth.mp4For(0L), 16)
     assert(Multimodal.mp4Meta(cut).isEmpty)
-    assert(Multimodal.decodeStub(cut).kind == "video/mp4")
+    assert(Multimodal.decodeMedia(cut).kind == "video/mp4")
     // mvhd v1 (64-bit creation/modification times): duration at +32
     val v1 = new Array[Byte](8 + 8 + 120)
     def w32be(a: Array[Byte], o: Int, v: Long): Unit = {
@@ -560,11 +561,73 @@ class OpsSpec extends AnyFunSuite {
     w32be(evil, 0, 16); tag(evil, 4, "ftyp")
     w32be(evil, 16, 0xFFFFFFFFL); tag(evil, 20, "free")
     assert(Multimodal.mp4Meta(evil).isEmpty)
-    assert(Multimodal.decodeStub(evil).duration_ms == 0L)
+    assert(Multimodal.decodeMedia(evil).duration_ms == 0L)
     // RIFF form types route correctly: AVI is sniffed but not demuxed
     val avi = "RIFF0000AVI LIST".getBytes
-    assert(Multimodal.decodeStub(avi).kind == "video/avi")
-    assert(Multimodal.decodeStub(avi).duration_ms == 0L)
+    assert(Multimodal.decodeMedia(avi).kind == "video/avi")
+    assert(Multimodal.decodeMedia(avi).duration_ms == 0L)
+    // a payload ending EXACTLY at the mvhd size+tag must degrade to
+    // None (the version byte at mv+8 is out of bounds), never throw
+    val atTag = new Array[Byte](24)
+    w32be(atTag, 0, 116); tag(atTag, 4, "moov")
+    w32be(atTag, 8, 108); tag(atTag, 12, "mvhd")
+    assert(Multimodal.mp4Meta(atTag).isEmpty)
+    assert(Multimodal.decodeMedia(atTag).duration_ms == 0L)
+  }
+
+  test("mp4 stts walk: frame count from the sample table, truncation-safe") {
+    def w32be(a: Array[Byte], o: Int, v: Long): Unit = {
+      a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte
+      a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte
+    }
+    // hand-built three-entry stts: 10+20+30 = 60 frames. Box totals:
+    // stts 40 (8 hdr + 4 ver/flags + 4 count + 3×8), each ancestor +8.
+    val stts = 40
+    val sizes = Seq(("moov", 80), ("trak", 72), ("mdia", 64),
+      ("minf", 56), ("stbl", 48))
+    val b = new Array[Byte](80)
+    var o = 0
+    for ((t, sz) <- sizes) {
+      w32be(b, o, sz)
+      (0 until 4).foreach(j => b(o + 4 + j) = t(j).toByte)
+      o += 8
+    }
+    w32be(b, o, stts)
+    "stts".zipWithIndex.foreach { case (c, j) => b(o + 4 + j) = c.toByte }
+    w32be(b, o + 12, 3) // entry count
+    w32be(b, o + 16, 10); w32be(b, o + 20, 100)
+    w32be(b, o + 24, 20); w32be(b, o + 28, 200)
+    w32be(b, o + 32, 30); w32be(b, o + 36, 300)
+    assert(Multimodal.mp4FrameCount(b).contains(60L))
+    // truncated entry table → None, never a partial sum
+    assert(Multimodal.mp4FrameCount(
+      java.util.Arrays.copyOf(b, b.length - 4)).isEmpty)
+    // a path box missing (no minf) → None
+    val noMinf = b.clone()
+    noMinf(8 * 3 + 4) = 'x'
+    assert(Multimodal.mp4FrameCount(noMinf).isEmpty)
+    // synth cohort closed form
+    for (i <- 0L until 16L)
+      assert(Multimodal.mp4FrameCount(ocrspark.job.Synth.mp4For(i))
+        .contains(ocrspark.job.Synth.mp4Frames(i)))
+  }
+
+  test("tiff metadata: IFD0 dims in both byte orders, truncation-safe") {
+    for (i <- 0L until 16L) {
+      val (w, h) = ocrspark.job.Synth.tiffDims(i)
+      val m = Multimodal.decodeMedia(ocrspark.job.Synth.tiffFor(i))
+      assert(m.kind == "image/tiff" && m.width == w && m.height == h &&
+        m.n_frames == 1, s"tiff $i: $m")
+    }
+    val t = ocrspark.job.Synth.tiffFor(2L)
+    // truncated before the IFD → honest 0×0
+    assert(Multimodal.tiffDims(java.util.Arrays.copyOf(t, 9)).isEmpty)
+    // truncated mid-entry: the complete-entry prefix is read; with only
+    // ImageWidth in bounds, dims stay unknown (both tags required)
+    assert(Multimodal.tiffDims(java.util.Arrays.copyOf(t, 23)).isEmpty)
+    // IFD offset pointing past the buffer → None, never a throw
+    val far = t.clone(); far(4) = 0xFF.toByte; far(5) = 0xFF.toByte
+    assert(Multimodal.tiffDims(far).isEmpty)
   }
 
   test("pdf metadata: n_frames is the true page count") {
@@ -572,7 +635,7 @@ class OpsSpec extends AnyFunSuite {
     val pages = ocrspark.parse.PdfExtract.parse(pdf, 0)
       .fold(_ => -1, _.pageCount)
     assert(pages > 0)
-    val m = Multimodal.decodeStub(pdf)
+    val m = Multimodal.decodeMedia(pdf)
     assert(m.kind == "application/pdf" && m.n_frames == pages)
   }
 
