@@ -32,16 +32,28 @@ object Bench {
     * canonical config only (local[32], 80k-doc corpus). */
   val ThroughputFloor = 35000.0
 
-  // ---- in-run noise canary -------------------------------------------
+  // ---- in-run noise canaries ------------------------------------------
   // Round 3 recorded a phantom floor FAIL (20.8k docs/s) from a loaded
   // host window that all three median reps shared; clean re-runs measure
   // 60-68k. Median-of-N cannot defend against WINDOW-level contamination,
-  // so the bench now times a fixed constant-work CPU canary before and
-  // after the suite, compares it to the pinned quiet-host reference, and
-  // (a) sleep-retries a noisy window before starting, (b) marks the JSON
-  // `window_contaminated` when either measurement exceeds the threshold —
+  // so the bench times fixed constant-work canaries before and after the
+  // suite, compares them to pinned quiet-host references, and (a)
+  // sleep-retries a noisy window before starting, (b) marks the JSON
+  // `window_contaminated` when any measurement exceeds its threshold —
   // the floor verdict is then explicitly not applicable instead of a
   // false FAIL.
+  //
+  // Round 4's lesson: ONE canary shape is not enough. BENCH_r04 recorded
+  // a 2.3×-slow window that the CPU canary (register-only xorshift, no
+  // loads/stores) passed at 1.34× — the host's memory bus was saturated
+  // while cores were idle enough. The workload is memory-bandwidth-
+  // shaped, so the window verdict now takes the MAX over three signals:
+  // the CPU canary, a memory-bandwidth canary (fixed copy+scan over
+  // buffers far past L3, the extraction kernels' traffic shape), and the
+  // suite's own `scan_floor` query against its pinned quiet reference
+  // (the in-band tripwire: it runs INSIDE the timed window, so
+  // contamination arriving mid-suite that both pre/post canaries miss
+  // still shows).
 
   /** Canary thread count: pinned (NOT availableProcessors) so the quiet
     * reference below stays comparable across configs. */
@@ -57,9 +69,88 @@ object Bench {
   val NoiseThreshold = 1.5
   val MaxNoiseRetries = 4
 
+  /** Clean-window per-query references (seconds; canonical config:
+    * local[32], sf0.1 replicate 16 = 80k docs) — medians from the round-4
+    * clean records (BENCH/r4_clean_bench.json + the judge's verified
+    * re-run). A clean canonical run whose median exceeds
+    * [[RegressionThreshold]]× its reference lands in `query_regressed`,
+    * so a regression in any timed query — not just the e2e headline —
+    * trips a recorded number. */
+  val QueryRefs: Map[String, Double] = Map(
+    "e2e_extract" -> 1.10, "p5_routing" -> 0.36, "scan_floor" -> 0.17,
+    "t1_text_stats" -> 0.30, "d2_minhash_pairs" -> 2.80,
+    "s2_cosine_topk" -> 0.56, "q1_agg" -> 0.25, "j1_join_agg" -> 0.40,
+    "a1_gated_avg" -> 0.23, "w1_first_k" -> 0.30,
+    "t4_token_histogram" -> 0.25, "j2_asof_join" -> 0.22,
+    "j3_range_context" -> 0.25)
+  val RegressionThreshold = 1.5
+
+  // ---- memory-bandwidth canary ---------------------------------------
+
+  /** Memory canary geometry: 32 threads × 2 × 16 MiB Long arrays (1 GiB
+    * resident, far past shared L3) — allocated once, reused every rep so
+    * the timed section is pure copy+scan traffic, no GC. */
+  val MemCanaryThreads = 32
+  val MemCanaryLongs = 2 << 20 // 16 MiB of Longs per buffer
+  val MemCanaryPasses = 24
+  /** Quiet-host wall seconds for ONE memory-canary rep (calibrated like
+    * [[CanaryQuietSec]]; see BASELINE.md). */
+  val MemCanaryQuietSec = 0.40
+  /** `scan_floor` (the suite's constant-work columnar scan of the 80k
+    * corpus) quiet-host median — the in-band memory tripwire reference.
+    * Clean windows measure 0.16-0.19 s; the r4 poisoned window read
+    * 0.316 s (1.9×) while the CPU canary saw only 1.34×. */
+  val ScanFloorQuietSec = 0.17
+
+  private lazy val memBufs: Array[(Array[Long], Array[Long])] =
+    Array.tabulate(MemCanaryThreads) { t =>
+      val src = new Array[Long](MemCanaryLongs)
+      var i = 0
+      var x = 0x9E3779B97F4A7C15L + t
+      while (i < src.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        src(i) = x
+        i += 1
+      }
+      (src, new Array[Long](MemCanaryLongs))
+    }
+
+  /** Fixed-work MEMORY-BANDWIDTH canary: every thread streams
+    * [[MemCanaryPasses]] copy+scan passes over its pre-allocated 16 MiB
+    * pair (arraycopy = the write path, a strided sum = the read path) —
+    * the traffic shape of a columnar scan + extraction kernel. Returns
+    * wall seconds; contention on the memory bus, not the cores, is the
+    * variable being measured. */
+  def memCanarySeconds(threads: Int = MemCanaryThreads,
+                       passes: Int = MemCanaryPasses): Double = {
+    val bufs = memBufs // force allocation outside the timed section
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val (src, dst) = bufs(t)
+        var p = 0
+        var sum = 0L
+        while (p < passes) {
+          System.arraycopy(src, 0, dst, 0, src.length)
+          var i = 0
+          while (i < dst.length) { sum += dst(i); i += 8 } // one read/line
+          p += 1
+        }
+        canarySink.addAndGet(sum)
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One canary measurement = median of [[CanaryReps]] fixed-work runs. */
   def canaryMeasure(): Double =
     median((1 to CanaryReps).map(_ => canarySeconds()))
+
+  /** One memory-canary measurement = median of [[CanaryReps]] reps. */
+  def memCanaryMeasure(): Double =
+    median((1 to CanaryReps).map(_ => memCanarySeconds()))
 
   private val canarySink = new java.util.concurrent.atomic.AtomicLong()
 
@@ -105,32 +196,41 @@ object Bench {
     val maxNoiseRetries = sys.env.getOrElse("SPARK_GRAFT_NOISE_RETRIES",
       MaxNoiseRetries.toString).toInt
 
-    // canary warm-up (JIT the loop), then the pre-suite measurement;
-    // a noisy window gets bounded sleep-and-retry before any timing
+    // canary warm-up (JIT the loops + allocate the memory buffers), then
+    // the pre-suite measurements; a noisy window gets bounded
+    // sleep-and-retry before any timing
     canarySeconds(iters = CanaryIters / 20)
+    memCanarySeconds(passes = 2)
     if (sys.env.contains("SPARK_GRAFT_CANARY_ONLY")) {
       val cs = (1 to 7).map(_ => canarySeconds())
-      println(cs.map(c => f"$c%.3f").mkString("reps=[", ",", "]") +
+      val ms = (1 to 7).map(_ => memCanarySeconds())
+      println(cs.map(c => f"$c%.3f").mkString("cpu reps=[", ",", "]") +
         f" median=${median(cs)}%.3f noise=${median(cs) / CanaryQuietSec}%.2f")
+      println(ms.map(c => f"$c%.3f").mkString("mem reps=[", ",", "]") +
+        f" median=${median(ms)}%.3f noise=${median(ms) / MemCanaryQuietSec}%.2f")
       return
     }
-    // the canary reference (CanaryQuietSec) is calibrated for the
-    // canonical 32-core host: on a weaker box the fixed 32-thread
-    // workload is slower on a PERFECTLY quiet host, so retrying and
-    // flagging there would misreport — noise factors are still
-    // reported, but the retry loop and the contaminated verdict only
-    // engage on the canonical config (where the floor applies)
+    // the canary references are calibrated for the canonical 32-core
+    // host: on a weaker box the fixed 32-thread workloads are slower on
+    // a PERFECTLY quiet host, so retrying and flagging there would
+    // misreport — noise factors are still reported, but the retry loop
+    // and the contaminated verdict only engage on the canonical config
+    // (where the floor applies)
     val canonicalHost = cpus == "32"
     var canaryPre = canaryMeasure()
+    var memPre = memCanaryMeasure()
+    def preNoise: Double =
+      math.max(canaryPre / CanaryQuietSec, memPre / MemCanaryQuietSec)
     var noiseRetries = 0
-    while (canonicalHost && canaryPre / CanaryQuietSec > NoiseThreshold &&
+    while (canonicalHost && preNoise > NoiseThreshold &&
            noiseRetries < maxNoiseRetries) {
       System.err.println(
-        f"[bench] noisy window (canary ${canaryPre}%.2fs = " +
-          f"${canaryPre / CanaryQuietSec}%.1fx quiet) — sleeping 15s " +
+        f"[bench] noisy window (cpu ${canaryPre / CanaryQuietSec}%.2fx / " +
+          f"mem ${memPre / MemCanaryQuietSec}%.2fx quiet) — sleeping 15s " +
           f"(retry ${noiseRetries + 1}/$maxNoiseRetries)")
       Thread.sleep(15000)
       canaryPre = canaryMeasure()
+      memPre = memCanaryMeasure()
       noiseRetries += 1
     }
 
@@ -245,22 +345,50 @@ object Bench {
       warmTimed(q) { SparkEntry.queries(q)(spark, sfDir).count() }
     }
 
-    // post-suite canary: contamination arriving MID-suite is caught here
+    // post-suite canaries: contamination arriving MID-suite is caught by
+    // these plus the in-band scan_floor tripwire below
     val canaryPost = canaryMeasure()
+    val memPost = memCanaryMeasure()
     val noisePre = canaryPre / CanaryQuietSec
     val noisePost = canaryPost / CanaryQuietSec
+    val memNoisePre = memPre / MemCanaryQuietSec
+    val memNoisePost = memPost / MemCanaryQuietSec
+
+    // the BASELINE.md floor + the pinned query references apply only to
+    // the canonical config (local[32], replicate 16 → the 80k-doc
+    // corpus) measured in a CLEAN window — a contaminated window's
+    // numbers are explicitly non-adjudicable rather than a phantom FAIL
+    val canonical = cpus == "32" && replicate == 16 && nDocs == 80000
+    // in-band memory tripwire: scan_floor ran INSIDE the timed window,
+    // so a memory-bus spike that both pre/post canaries bracket shows
+    // here (the r4 failure mode — see the canary comment block)
+    val scanFloorRatio = results("scan_floor") / ScanFloorQuietSec
     val contaminated = canonicalHost &&
-      (noisePre > NoiseThreshold || noisePost > NoiseThreshold)
+      (noisePre > NoiseThreshold || noisePost > NoiseThreshold ||
+        memNoisePre > NoiseThreshold || memNoisePost > NoiseThreshold ||
+        (canonical && scanFloorRatio > NoiseThreshold))
 
     val extractSec = results("e2e_extract")
     val docsPerSec = if (extractSec > 0) nDocs / extractSec else 0.0
-    // the BASELINE.md floor applies only to the canonical config
-    // (local[32], replicate 16 → the 80k-doc corpus) measured in a CLEAN
-    // window — a contaminated window's numbers are explicitly
-    // non-adjudicable rather than a phantom FAIL
-    val canonical = cpus == "32" && replicate == 16 && nDocs == 80000
     val floorApplies = canonical && !contaminated
-    val floorPass = !floorApplies || docsPerSec >= ThroughputFloor
+    // floor_pass is NULL when the floor does not apply (contaminated or
+    // non-canonical window): a consumer keying on floor_pass alone must
+    // not read a vacuous true as a PASS
+    val floorPassJson =
+      if (floorApplies) (docsPerSec >= ThroughputFloor).toString else "null"
+    // per-query regression tripwires: clean-window references pinned for
+    // every timed query, so a 1.5× regression in any of them trips a
+    // recorded field even when the headline floor still passes
+    val ratios = QueryRefs.flatMap { case (q, ref) =>
+      results.get(q).map(v => q -> v / ref)
+    }
+    val ratiosJson = ratios
+      .map { case (q, r) => "\"" + q + f"\":$r%.2f" }.mkString("{", ",", "}")
+    val regressed =
+      if (floorApplies)
+        ratios.filter(_._2 > RegressionThreshold).keys.toSeq.sorted
+      else Seq.empty
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val repsJson = allReps.map { case (k, v) =>
@@ -268,15 +396,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.sum
     val line =
-      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"timed_reps":$reps,"canary_quiet_sec":$CanaryQuietSec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"noise_factor_pre":$noisePre%.2f,"noise_factor_post":$noisePost%.2f,"noise_retries":$noiseRetries,"window_contaminated":$contaminated,"floor_docs_per_sec":$ThroughputFloor%.0f,"floor_applies":$floorApplies,"floor_pass":$floorPass}"""
+      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"timed_reps":$reps,"canary_quiet_sec":$CanaryQuietSec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"noise_factor_pre":$noisePre%.2f,"noise_factor_post":$noisePost%.2f,"mem_canary_quiet_sec":$MemCanaryQuietSec%.3f,"mem_canary_pre_sec":$memPre%.3f,"mem_canary_post_sec":$memPost%.3f,"mem_noise_factor_pre":$memNoisePre%.2f,"mem_noise_factor_post":$memNoisePost%.2f,"scan_floor_quiet_sec":$ScanFloorQuietSec%.3f,"scan_floor_ratio":$scanFloorRatio%.2f,"noise_retries":$noiseRetries,"window_contaminated":$contaminated,"floor_docs_per_sec":$ThroughputFloor%.0f,"floor_applies":$floorApplies,"floor_pass":$floorPassJson,"ratio_vs_ref":$ratiosJson,"query_regressed":$regressedJson}"""
     println(line)
     if (contaminated)
       System.err.println(
-        f"[bench] WINDOW CONTAMINATED (canary pre ${noisePre}%.2fx / post " +
-          f"${noisePost}%.2fx quiet) — throughput numbers not adjudicable")
-    else if (canonical)
+        f"[bench] WINDOW CONTAMINATED (cpu ${noisePre}%.2fx/${noisePost}%.2fx, " +
+          f"mem ${memNoisePre}%.2fx/${memNoisePost}%.2fx, " +
+          f"scan_floor ${scanFloorRatio}%.2fx quiet) — throughput numbers " +
+          "not adjudicable")
+    else if (canonical) {
       System.err.println(
-        f"[bench] throughput floor (BASELINE.md): $docsPerSec%.0f docs/s vs ≥$ThroughputFloor%.0f → ${if (floorPass) "PASS" else "FAIL"}")
+        f"[bench] throughput floor (BASELINE.md): $docsPerSec%.0f docs/s vs ≥$ThroughputFloor%.0f → ${if (docsPerSec >= ThroughputFloor) "PASS" else "FAIL"}")
+      if (regressed.nonEmpty)
+        System.err.println(
+          s"[bench] query regressions vs clean refs (> ${RegressionThreshold}x): " +
+            regressed.mkString(", "))
+    }
     // sbt's logger prefixes forked stdout with [info], which broke the
     // driver's JSON parse in r1 — also land the line in a bare file.
     try {

@@ -295,14 +295,22 @@ object SparkEntry {
   /** One deterministic k-means training per sf directory — the s4
     * query plus its two oracle dumps (cells, probes) share the coarse
     * quantizer instead of paying three identical trainings per Verify
-    * pass (Lloyd's here is RNG-free, so the cache is a pure memo). */
+    * pass (Lloyd's here is RNG-free, so the cache is a pure memo). The
+    * memo key folds in the parquet directory's latest modification time,
+    * so embeddings regenerated in-process invalidate the entry instead
+    * of silently serving stale centroids. */
   private val ivfCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
-  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Float]] =
-    ivfCentroidCache.computeIfAbsent(dir, _ =>
+  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Float]] = {
+    val path = new java.io.File(s"$dir/embeddings.parquet")
+    val mtime = math.max(path.lastModified(),
+      Option(path.listFiles()).map(_.map(_.lastModified()).foldLeft(0L)(math.max))
+        .getOrElse(0L))
+    ivfCentroidCache.computeIfAbsent(s"$dir@$mtime", _ =>
       ocrspark.ops.Similarity.kmeansCentroids(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         16, iters = 4))
+  }
 
   /** The multimodal corpus shared by m1/m1b/m2 and the m1s payload
     * dump: pages payloads under xxhash64(url) ids plus the synthetic

@@ -31,7 +31,14 @@ object RangeJoin {
     * (legit intervals span ≤ 2) and is treated exactly like an inverted
     * one — corrupt data, zero matches. The default leaves 2× slack over
     * the contract so a marginally mis-sized binWidth degrades to extra
-    * bin rows, not dropped data. */
+    * bin rows, not dropped data.
+    *
+    * RETURN CONTRACT — the filter is a silent drop BY DESIGN, so a
+    * caller whose binWidth might be mis-sized by more than the slack
+    * (legit long intervals, not corruption) must assert
+    * `droppedIntervals(intervals, startCol, endCol, binWidth, maxBins)
+    * .isEmpty` (or count it) before trusting completeness; a non-empty
+    * result means either binWidth must grow or maxBins must be raised. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCol: String, pCol: String,
                       startCol: String, endCol: String,
@@ -53,5 +60,20 @@ object RangeJoin {
     pts.join(ivl, Seq(keyCol, "__bin"))
       .filter(col(pCol) >= col(startCol) && col(pCol) <= col(endCol))
       .drop("__bin")
+  }
+
+  /** The intervals [[pointInInterval]] would EXCLUDE as corrupt under
+    * the given binning (inverted bounds, or spanning ≥ maxBins bins).
+    * Callers that cannot rule out legit long intervals assert this is
+    * empty — a cheap metadata-only aggregation — instead of discovering
+    * missing matches downstream; rows returned here mean binWidth is
+    * mis-sized for the data, not that the data was joined. */
+  def droppedIntervals(intervals: DataFrame,
+                       startCol: String, endCol: String,
+                       binWidth: Long, maxBins: Int = 4): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    intervals.filter(col(endCol) < col(startCol) ||
+      floor(col(endCol) / binWidth).cast("long") -
+        floor(col(startCol) / binWidth).cast("long") >= lit(maxBins.toLong))
   }
 }

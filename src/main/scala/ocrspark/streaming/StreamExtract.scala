@@ -169,6 +169,107 @@ object StreamExtract {
     }
   }
 
+  // ---- event-time (watermark) TTL variants ---------------------------
+
+  /** A document event carrying its EVENT time — the event-time TTL
+    * variants key eviction to this, not the wall clock. */
+  case class DocEventTs(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Event-time variant of [[dedupFirstSeen]]: the idle TTL is anchored
+    * to the data's own timestamps — a key is evicted when the WATERMARK
+    * passes (last event time seen for the key + ttlMs). Replaying the
+    * same event-time-stamped data through the same batch boundaries
+    * evicts at identical points on every run, unlike the
+    * processing-time variant whose eviction depends on how fast the
+    * replay happens to execute. (The max() guard keeps Spark's
+    * timeout-must-exceed-watermark contract when a key's last-seen
+    * event time lags far behind the stream.) */
+  def dedupFirstSeenEventTime(ttlMs: Long)(
+      key: String, rows: Iterator[DocEventTs],
+      state: GroupState[Long]): Iterator[DocEventTs] = {
+    if (state.hasTimedOut) { // watermark passed last-seen + TTL: evict
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = rows.toSeq
+      val out =
+        if (state.exists || batch.isEmpty) Iterator.empty[DocEventTs]
+        else {
+          val keeper = batch.minBy(_.doc_id)
+          state.update(keeper.doc_id)
+          Iterator.single(keeper)
+        }
+      if (state.exists && batch.nonEmpty) {
+        val lastSeen = batch.iterator.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out
+    }
+  }
+
+  /** Wire the event-time-TTL dedup: same md5-content grouping as
+    * [[dedupStream]], but `EventTimeTimeout` + a watermark on `ts`
+    * drive eviction — replay-deterministic windowed dedup. */
+  def dedupStreamEventTime(docs: Dataset[DocEventTs], ttlMs: Long,
+                           watermarkDelay: String = "0 seconds"): Dataset[DocEventTs] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .groupByKey { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(if (d.text == null) 0.toByte else 1.toByte)
+        md.digest(if (d.text == null) Array.emptyByteArray
+          else d.text.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout())(dedupFirstSeenEventTime(ttlMs))
+  }
+
+  /** Event-time variant of [[nearDupStream]]: identical banding + capped
+    * per-bucket state, with idle-bucket eviction keyed to the WATERMARK
+    * passing (bucket's last event time + ttlMs) instead of wall-clock
+    * processing time — the same replayed data evicts identically. */
+  def nearDupStreamEventTime(docs: Dataset[DocEventTs],
+                             threshold: Double = 0.7,
+                             ttlMs: Long,
+                             watermarkDelay: String = "0 seconds"): Dataset[BandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import ocrspark.ops.Dedup
+    val bands = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id").as("id"), Dedup.minhash(col("text")).as("mh"),
+        col("ts"))
+      .select(col("id"), col("mh"), col("ts"),
+        posexplode(expr(s"transform(sequence(0, ${Dedup.NumBands - 1}), " +
+          s"b -> hash(b, slice(mh, b * ${Dedup.BandSize} + 1, " +
+          s"${Dedup.BandSize})))"))
+          .as(Seq("band", "sig")))
+      .as[(Long, Seq[Long], java.sql.Timestamp, Int, Int)]
+    bands.groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Int),
+         rows: Iterator[(Long, Seq[Long], java.sql.Timestamp, Int, Int)],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val out = nearDupBand(threshold, Dedup.MaxBucketSize, None)(
+              key, batch.iterator.map(r => (r._1, r._2)), state)
+            if (batch.nonEmpty) {
+              val lastSeen = batch.iterator.map(_._3.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out
+          }
+      }
+  }
+
   // ---- streaming minhash near-dup -----------------------------------
 
   case class BandPair(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)

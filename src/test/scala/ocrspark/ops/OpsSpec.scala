@@ -421,6 +421,14 @@ class OpsSpec extends AnyFunSuite {
     val got = RangeJoin.pointInInterval(points, ivls, "k", "p", "s", "e", 200L)
       .select($"ivl", $"p").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 100L), (1L, 150L)), got.toString)
+    // the drop is not silent: droppedIntervals surfaces exactly the
+    // excluded row so a caller can assert zero-drop completeness
+    val dropped = RangeJoin.droppedIntervals(ivls, "s", "e", 200L)
+      .select($"ivl").as[Long].collect().toSeq
+    assert(dropped == Seq(2L), dropped.toString)
+    // a well-sized binning drops nothing
+    assert(RangeJoin.droppedIntervals(
+      ivls.filter($"ivl" === 1L), "s", "e", 200L).count() == 0L)
   }
 
   test("token histogram: counts, empty-token filtering, deterministic top-N") {

@@ -292,6 +292,72 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TTL dedup: eviction is replay-deterministic (two runs, identical outputs)") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val ttl = 5000L
+    // the SAME deposit/batch sequence, replayed through two independent
+    // checkpoints: batch 3's watermark (t0+20s, from batch 2's max event
+    // time) passes A's and B's timers (t0+5s) → evicted; the batch-4
+    // duplicate of A re-admits. Event-time timers make both runs evict
+    // at identical points — the processing-time variant's eviction
+    // depends on wall-clock pacing instead.
+    val batches = Seq(
+      Seq(StreamExtract.DocEventTs(3, "et texto A", new java.sql.Timestamp(t0)),
+        StreamExtract.DocEventTs(10, "et texto B", new java.sql.Timestamp(t0))),
+      Seq(StreamExtract.DocEventTs(20, "et texto W", new java.sql.Timestamp(t0 + 20000))),
+      Seq(StreamExtract.DocEventTs(30, "et texto X", new java.sql.Timestamp(t0 + 40000))),
+      Seq(StreamExtract.DocEventTs(8, "et texto A", new java.sql.Timestamp(t0 + 41000))))
+
+    def replay(): Seq[(Long, Long)] = {
+      val dir = Files.createTempDirectory("dedupet_docs").toString
+      val ckpt = Files.createTempDirectory("dedupet_ckpt").toString
+      val sink = Files.createTempDirectory("dedupet_sink").toString
+      batches.foreach { docs =>
+        docs.toDS().write.mode("append").parquet(dir)
+        val stream = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[StreamExtract.DocEventTs]].schema)
+          .parquet(dir).as[StreamExtract.DocEventTs]
+        val q = StreamExtract.dedupStreamEventTime(stream, ttlMs = ttl)
+          .writeStream
+          .outputMode("append").format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(sink).as[StreamExtract.DocEventTs]
+        .collect().map(d => (d.doc_id, d.ts.getTime)).sortBy(_._1).toSeq
+    }
+
+    val run1 = replay()
+    // every first-seen doc emitted; the re-arrival of "et texto A" (id 8)
+    // lands AFTER its group's event-time eviction → re-admitted
+    assert(run1.map(_._1) == Seq(3L, 8L, 10L, 20L, 30L), s"got $run1")
+    val run2 = replay()
+    assert(run1 == run2, s"replay diverged: $run1 vs $run2")
+  }
+
+  test("event-time TTL state fn: timer anchored to last event time, not the clock") {
+    val state = new TestGroupState[Long]
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val out = StreamExtract.dedupFirstSeenEventTime(5000L)(
+      "k", Iterator(StreamExtract.DocEventTs(4, "x", ts),
+        StreamExtract.DocEventTs(2, "x", ts)), state).toVector
+    assert(out.map(_.doc_id) == Vector(2L)) // smallest id wins in-batch
+    assert(state.timeoutTs == ts.getTime + 5000L,
+      s"timer must be event-time anchored: ${state.timeoutTs}")
+    // duplicate in a later batch re-arms the timer but emits nothing
+    val ts2 = new java.sql.Timestamp(ts.getTime + 3000L)
+    val out2 = StreamExtract.dedupFirstSeenEventTime(5000L)(
+      "k", Iterator(StreamExtract.DocEventTs(9, "x", ts2)), state).toVector
+    assert(out2.isEmpty && state.timeoutTs == ts2.getTime + 5000L)
+    // timeout invocation evicts
+    state.timedOut = true
+    val out3 = StreamExtract.dedupFirstSeenEventTime(5000L)(
+      "k", Iterator.empty, state).toVector
+    assert(out3.isEmpty && state.getOption.isEmpty)
+  }
+
   test("near-dup band bucket is evicted wholesale on TTL timeout") {
     val mh = Seq.fill(64)(7L)
     val state = new TestGroupState[Seq[(Long, Seq[Long])]]
@@ -316,6 +382,7 @@ class StreamSpec extends AnyFunSuite {
   class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var v: Option[S] = None
     var timedOut: Boolean = false
+    var timeoutTs: Long = -1L
     override def exists: Boolean = v.isDefined
     override def get: S = v.get
     override def getOption: Option[S] = v
@@ -324,7 +391,7 @@ class StreamSpec extends AnyFunSuite {
     override def hasTimedOut: Boolean = timedOut
     override def setTimeoutDuration(d: Long): Unit = ()
     override def setTimeoutDuration(d: String): Unit = ()
-    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = timeoutTs = t
     override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
     override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
     override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
