@@ -94,13 +94,17 @@ object Bench {
   val MemCanaryLongs = 2 << 20 // 16 MiB of Longs per buffer
   val MemCanaryPasses = 24
   /** Quiet-host wall seconds for ONE memory-canary rep (calibrated like
-    * [[CanaryQuietSec]]; see BASELINE.md). */
-  val MemCanaryQuietSec = 0.40
+    * [[CanaryQuietSec]]; see BASELINE.md). Re-pinned round 5: a quiet
+    * window measures rep medians 0.18-0.33 s — the original 0.40 was
+    * calibrated in a window that was itself bus-loaded, which let real
+    * contamination up to ~2.2× true-quiet read as < 1.0× and pass. */
+  val MemCanaryQuietSec = 0.27
   /** `scan_floor` (the suite's constant-work columnar scan of the 80k
     * corpus) quiet-host median — the in-band memory tripwire reference.
-    * Clean windows measure 0.16-0.19 s; the r4 poisoned window read
-    * 0.316 s (1.9×) while the CPU canary saw only 1.34×. */
-  val ScanFloorQuietSec = 0.17
+    * Clean windows measure 0.14-0.19 s (round-5 quiet reps 0.137-0.159);
+    * the r4 poisoned window read 0.316 s (2.1×) while the CPU canary saw
+    * only 1.34×. */
+  val ScanFloorQuietSec = 0.15
 
   private lazy val memBufs: Array[(Array[Long], Array[Long])] =
     Array.tabulate(MemCanaryThreads) { t =>
@@ -250,10 +254,15 @@ object Bench {
     // uniform protocol: one full warm-up pass (JIT + plan/codegen
     // cache), GC, then `reps` timed passes → median. Returns the count
     // from the last rep.
+    // GC before EVERY timed rep, not just after warm-up: the UDF-heavy
+    // queries (p5, e2e) allocate GBs of short-lived strings per pass, so
+    // without this rep k pays rep k-1's collection debt — p5's reps read
+    // 0.29/0.57/0.95 in one otherwise-clean round-5 window.
     def warmTimed(name: String)(f: => Long): Long = {
-      f; System.gc()
+      f
       var n = 0L
       val times = (1 to reps).map { _ =>
+        System.gc()
         val (s, nn) = timed(f)
         n = nn
         s
