@@ -117,10 +117,23 @@ class LakeTable(val root: String) {
   /** Read the table as of the current snapshot — only manifested files. */
   def read(spark: SparkSession): DataFrame = currentSnapshot match {
     case None => throw new IllegalStateException(s"no snapshot in $root")
-    case Some(s) =>
-      val files = s.buckets.flatMap(_.files)
-      if (files.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(files: _*)
+    case Some(s) => readSnapshot(spark, s)
+  }
+
+  /** Time-travel read: the table exactly as of snapshot `id` (Iceberg
+    * `VERSION AS OF`). Data files are immutable and never deleted by
+    * commits — an overwriting commit only re-points the bucket's
+    * manifest entry — so every historical snapshot stays readable. */
+  def readAt(spark: SparkSession, id: Long): DataFrame = {
+    require(id >= 1 && id <= currentSnapshotId.getOrElse(0L),
+      s"snapshot $id does not exist in $root")
+    readSnapshot(spark, snapshot(id))
+  }
+
+  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
+    val files = s.buckets.flatMap(_.files)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
   }
 
   /** Per-partition lineage rows (FIXTURES.md §1.3). */

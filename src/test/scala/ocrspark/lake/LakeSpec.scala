@@ -109,4 +109,38 @@ class LakeSpec extends AnyFunSuite {
     assert(t.lineageHistory(spark).count() >=
       t.lineage(spark).count())
   }
+
+  test("time travel: readAt(id) reproduces every historical snapshot") {
+    import spark.implicits._
+    val t = freshTable()
+    val nB = ExtractJob.DefaultBuckets
+    // data files don't carry the bucket column (it's the partition dir,
+    // and read() loads explicit file lists) — re-derive it from url
+    def withBucket(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("b", ExtractJob.bucketCol(nB))
+    IncrementalExtract.run(spark, pages.filter(ExtractJob.bucketCol(nB) < 20), t)
+    val snap1Docs = t.read(spark).count()
+    IncrementalExtract.run(spark, pages, t)
+    assert(t.read(spark).count() == 500L)
+    // snapshot 1 is still exactly reproducible after snapshot 2 landed
+    assert(t.readAt(spark, 1).count() == snap1Docs)
+    assert(withBucket(t.readAt(spark, 1)).select($"b").distinct()
+      .as[Int].collect().forall(_ < 20))
+    assert(t.readAt(spark, 2).count() == 500L)
+    // overwrite bucket 3 in snapshot 3 (one replacement row): current
+    // read sees the replacement, readAt(2) still sees the original rows
+    val bucket3Old = withBucket(t.read(spark)).filter($"b" === 3).count()
+    assert(bucket3Old > 1L, "fixture needs a multi-row bucket 3")
+    val staging = new java.io.File(t.stagingDir(3)).getPath
+    withBucket(t.read(spark)).filter($"b" === 3).drop("b").limit(1)
+      .write.parquet(s"$staging/bucket=3")
+    val files = new java.io.File(s"$staging/bucket=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    t.commit(Seq(t.BucketEntry(3, files, nDocs = 1L, nBytes = 0L)))
+    assert(withBucket(t.read(spark)).filter($"b" === 3).count() == 1L)
+    assert(withBucket(t.readAt(spark, 2)).filter($"b" === 3).count() == bucket3Old)
+    // history outside the overwritten bucket is shared, not duplicated
+    assert(t.read(spark).count() == 500L - bucket3Old + 1L)
+    intercept[IllegalArgumentException] { t.readAt(spark, 4) }
+  }
 }
