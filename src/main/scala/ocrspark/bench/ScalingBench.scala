@@ -71,7 +71,10 @@ object ScalingBench {
       System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
     val opts = addOpens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
-      Seq("-Xmx6g", "-XX:+UseParallelGC", "-Xmn2g",
+      // 4g young gen: the extraction kernels allocate GBs of short-lived
+      // strings per pass, so a small nursery forces minor-GC pauses into
+      // the timed reps (measured ~5% shard-time cost at -Xmn2g)
+      Seq("-Xmx10g", "-XX:+UseParallelGC", "-Xmn4g",
         // an executor JVM owns `cores` CPUs: size its GC + JIT pools
         // accordingly or 4 shards × 32 default GC threads thrash
         s"-XX:ParallelGCThreads=$cores", s"-XX:CICompilerCount=2",
@@ -189,6 +192,20 @@ object ScalingBench {
     boot.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+
+    // multi-only mode: just the deployment-shaped measurement (single
+    // lo-core JVM vs `hi/lo` concurrent lo-core JVMs on shards) — for
+    // iterating on the executor-sim protocol without paying for the
+    // full two-parallelism suite each time
+    if (sys.env.contains("SPARK_GRAFT_MULTI_ONLY")) {
+      val rLo = runAt(lo, pagesPath, reps)
+      val nSh = hi / lo
+      val m = math.min(multiJvmRun(pagesPath, nSh, lo),
+        multiJvmRun(pagesPath, nSh, lo))
+      val eff = rLo.minSec / (nSh * m)
+      println(f"""{"metric":"multi-jvm efficiency","value":$eff%.3f,"unit":"ratio","single_lo_sec":${rLo.minSec}%.3f,"slowest_shard_sec":$m%.3f,"n_shards":$nSh,"docs":${rLo.docs},"sf":"$sfDir"}""")
+      return
+    }
 
     val rLo = runAt(lo, pagesPath, reps)
     val rHi = runAt(hi, pagesPath, reps)
