@@ -75,11 +75,17 @@ object Bench {
     * judge's verified re-run). A clean canonical run whose MIN-of-reps
     * exceeds [[RegressionThreshold]]× its reference lands in
     * `query_regressed`, so a regression in any timed query — not just
-    * the e2e headline — trips a recorded number. Min, not median: host
-    * noise below the canary thresholds inflates some reps but a true
-    * regression slows ALL of them, so min-of-3 is the noise-robust
-    * signal (a gray-zone round-5 window false-flagged 4 queries off
-    * medians). */
+    * the e2e headline — trips a recorded number. Min, not median, for
+    * the primary signal: host noise below the canary thresholds
+    * inflates some reps but a STEP regression slows ALL of them, so
+    * min-of-3 is the noise-robust signal (a gray-zone round-5 window
+    * false-flagged 4 queries off medians). Min alone is blind to a
+    * PROGRESSIVE regression (a leak re-growing per rep reads
+    * 0.3/0.6/1.2 → min 0.3, clean), so the median is kept as a
+    * secondary tripwire at [[RegressionThresholdMedian]] — with the
+    * per-rep GC, clean-window medians are stable, making the laxer
+    * median bound safe from the noise false-flags that retired it as
+    * the primary. */
   val QueryRefs: Map[String, Double] = Map(
     "e2e_extract" -> 1.25, "p5_routing" -> 0.36, "scan_floor" -> 0.15,
     "t1_text_stats" -> 0.30, "d2_minhash_pairs" -> 2.80,
@@ -88,6 +94,7 @@ object Bench {
     "t4_token_histogram" -> 0.25, "j2_asof_join" -> 0.22,
     "j3_range_context" -> 0.25)
   val RegressionThreshold = 1.5
+  val RegressionThresholdMedian = 2.0
 
   // ---- memory-bandwidth canary ---------------------------------------
 
@@ -96,13 +103,21 @@ object Bench {
     * the timed section is pure copy+scan traffic, no GC. */
   val MemCanaryThreads = 32
   val MemCanaryLongs = 2 << 20 // 16 MiB of Longs per buffer
-  val MemCanaryPasses = 24
+  /** 96 passes ≈ 0.7-0.8 s/rep on a quiet host. At the original 24
+    * (≈0.2 s/rep) scheduler jitter dominated the measurement: quiet
+    * medians scattered 0.17-0.33 s, so any pinned reference either left
+    * a ~2× contamination blind band (pinned high) or false-flagged
+    * legitimately quiet windows (pinned low). A 4×-longer rep averages
+    * the jitter out; the quiet spread tightens proportionally. */
+  val MemCanaryPasses = 96
   /** Quiet-host wall seconds for ONE memory-canary rep (calibrated like
-    * [[CanaryQuietSec]]; see BASELINE.md). Re-pinned round 5: a quiet
-    * window measures rep medians 0.18-0.33 s — the original 0.40 was
-    * calibrated in a window that was itself bus-loaded, which let real
-    * contamination up to ~2.2× true-quiet read as < 1.0× and pass. */
-  val MemCanaryQuietSec = 0.27
+    * [[CanaryQuietSec]]; see BASELINE.md). Re-pinned round 5 twice: the
+    * original 0.40 was calibrated in a window that was itself bus-loaded
+    * (real contamination up to ~2.2× true-quiet read as < 1.0×); the
+    * final value is the quiet median at 96 passes (two independent
+    * calibration medians: 0.581, 0.599), so the 1.5× threshold now
+    * means a true 1.5× — no residual blind band. */
+  val MemCanaryQuietSec = 0.58
   /** `scan_floor` (the suite's constant-work columnar scan of the 80k
     * corpus) quiet-host median — the in-band memory tripwire reference.
     * Clean windows measure 0.14-0.19 s (round-5 quiet reps 0.137-0.159);
@@ -296,6 +311,23 @@ object Bench {
       forceAll(ocrspark.job.ExtractJob.run(pages))
     }
 
+    // sustained throughput: 3 back-to-back passes timed as ONE block,
+    // NO inter-rep GC — every pass pays the previous pass's collection
+    // debt, the way a production job's micro-batches would. The
+    // isolated-rep docs_per_sec above excludes residual inter-rep GC
+    // (each rep starts debt-free), so it reads a few % higher; both are
+    // reported so neither protocol can masquerade as the other.
+    System.gc()
+    val sustainedPasses = 3
+    val (sustainedTotal, _) = timed {
+      var i = 0
+      while (i < sustainedPasses) {
+        forceAll(ocrspark.job.ExtractJob.run(pages)); i += 1
+      }
+      0L
+    }
+    val sustainedSec = sustainedTotal / sustainedPasses
+
     warmTimed("p5_routing") {
       ocrspark.job.ExtractJob.analyzeOnly(pages)
         .agg(sum(pmod(xxhash64(col("route"), col("text_length")), lit(1000000007L))).as("h"),
@@ -383,6 +415,8 @@ object Bench {
 
     val extractSec = results("e2e_extract")
     val docsPerSec = if (extractSec > 0) nDocs / extractSec else 0.0
+    val docsPerSecSustained =
+      if (sustainedSec > 0) nDocs / sustainedSec else 0.0
     val floorApplies = canonical && !contaminated
     // floor_pass is NULL when the floor does not apply (contaminated or
     // non-canonical window): a consumer keying on floor_pass alone must
@@ -390,17 +424,24 @@ object Bench {
     val floorPassJson =
       if (floorApplies) (docsPerSec >= ThroughputFloor).toString else "null"
     // per-query regression tripwires: clean-window references pinned for
-    // every timed query, so a 1.5× regression in any of them trips a
-    // recorded field even when the headline floor still passes. Ratio is
-    // min-of-reps / ref (see QueryRefs scaladoc for why min).
+    // every timed query, so a regression in any of them trips a recorded
+    // field even when the headline floor still passes. Primary ratio is
+    // min-of-reps / ref; the median backs it up at a laxer threshold to
+    // catch progressive regressions min is blind to (see QueryRefs
+    // scaladoc).
     val ratios = QueryRefs.flatMap { case (q, ref) =>
       allReps.get(q).map(rs => q -> rs.min / ref)
+    }
+    val medianRatios = QueryRefs.flatMap { case (q, ref) =>
+      results.get(q).map(v => q -> v / ref)
     }
     val ratiosJson = ratios
       .map { case (q, r) => "\"" + q + f"\":$r%.2f" }.mkString("{", ",", "}")
     val regressed =
       if (floorApplies)
-        ratios.filter(_._2 > RegressionThreshold).keys.toSeq.sorted
+        (ratios.filter(_._2 > RegressionThreshold).keys ++
+          medianRatios.filter(_._2 > RegressionThresholdMedian).keys)
+          .toSeq.distinct.sorted
       else Seq.empty
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -410,7 +451,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.sum
     val line =
-      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"timed_reps":$reps,"canary_quiet_sec":$CanaryQuietSec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"noise_factor_pre":$noisePre%.2f,"noise_factor_post":$noisePost%.2f,"mem_canary_quiet_sec":$MemCanaryQuietSec%.3f,"mem_canary_pre_sec":$memPre%.3f,"mem_canary_post_sec":$memPost%.3f,"mem_noise_factor_pre":$memNoisePre%.2f,"mem_noise_factor_post":$memNoisePost%.2f,"scan_floor_quiet_sec":$ScanFloorQuietSec%.3f,"scan_floor_ratio":$scanFloorRatio%.2f,"noise_retries":$noiseRetries,"window_contaminated":$contaminated,"floor_docs_per_sec":$ThroughputFloor%.0f,"floor_applies":$floorApplies,"floor_pass":$floorPassJson,"ratio_vs_ref":$ratiosJson,"query_regressed":$regressedJson}"""
+      f"""{"metric":"extraction throughput + op latencies","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$docsPerSec%.1f,"e2e_sustained_sec":$sustainedSec%.3f,"docs_per_sec_sustained":$docsPerSecSustained%.1f,"cpus":$cpus,"timed_reps":$reps,"canary_quiet_sec":$CanaryQuietSec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"noise_factor_pre":$noisePre%.2f,"noise_factor_post":$noisePost%.2f,"mem_canary_quiet_sec":$MemCanaryQuietSec%.3f,"mem_canary_pre_sec":$memPre%.3f,"mem_canary_post_sec":$memPost%.3f,"mem_noise_factor_pre":$memNoisePre%.2f,"mem_noise_factor_post":$memNoisePost%.2f,"scan_floor_quiet_sec":$ScanFloorQuietSec%.3f,"scan_floor_ratio":$scanFloorRatio%.2f,"noise_retries":$noiseRetries,"window_contaminated":$contaminated,"floor_docs_per_sec":$ThroughputFloor%.0f,"floor_applies":$floorApplies,"floor_pass":$floorPassJson,"ratio_vs_ref":$ratiosJson,"query_regressed":$regressedJson}"""
     println(line)
     if (contaminated)
       System.err.println(

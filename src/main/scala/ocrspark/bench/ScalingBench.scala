@@ -66,15 +66,17 @@ object ScalingBench {
     * the corpus concurrently at `cores` threads. Returns the slowest
     * shard's timed seconds (shards run concurrently; per-shard timing
     * excludes JVM startup + warm-up, same protocol as [[runAt]]). */
-  def multiJvmRun(pagesPath: String, nShards: Int, cores: Int): Double = {
+  def multiJvmRun(pagesPath: String, nShards: Int, cores: Int,
+                  reps: Int = 3, minWallSec: Double = 10.0): Double = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
     val opts = addOpens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
       // 4g young gen: the extraction kernels allocate GBs of short-lived
       // strings per pass, so a small nursery forces minor-GC pauses into
-      // the timed reps (measured ~5% shard-time cost at -Xmn2g)
-      Seq("-Xmx10g", "-XX:+UseParallelGC", "-Xmn4g",
+      // the timed reps (measured ~5% shard-time cost at -Xmn2g); 8g cap
+      // keeps 4 concurrent shards ≤32g committed
+      Seq("-Xmx8g", "-XX:+UseParallelGC", "-Xmn4g",
         // an executor JVM owns `cores` CPUs: size its GC + JIT pools
         // accordingly or 4 shards × 32 default GC threads thrash
         s"-XX:ParallelGCThreads=$cores", s"-XX:CICompilerCount=2",
@@ -102,7 +104,8 @@ object ScalingBench {
       val shardFiles = assignment(i).result()
       val pb = new ProcessBuilder(
         (Seq(javaBin) ++ opts ++ Seq("-cp", cp, "ocrspark.bench.ShardMain",
-          i.toString, cores.toString, shardFiles.mkString(","))): _*)
+          i.toString, cores.toString, reps.toString, minWallSec.toString,
+          shardFiles.mkString(","))): _*)
       pb.redirectErrorStream(true)
       pb.redirectOutput(out)
       (pb.start(), out)
@@ -193,16 +196,22 @@ object ScalingBench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // multi-only mode: just the deployment-shaped measurement (single
-    // lo-core JVM vs `hi/lo` concurrent lo-core JVMs on shards) — for
+    // the deployment-shaped measurement: `hi/lo` executor JVMs × lo
+    // cores vs one lo-core JVM; best of 2 launches (same min-statistic
+    // rationale as runAt), shard reps mirror the single-JVM rep count
+    def multiMeasure(rLo: Result): (Int, Double, Double) = {
+      val nSh = hi / lo
+      val m = math.min(multiJvmRun(pagesPath, nSh, lo, reps = reps),
+        multiJvmRun(pagesPath, nSh, lo, reps = reps))
+      (nSh, m, rLo.minSec / (nSh * m))
+    }
+
+    // multi-only mode: just the deployment-shaped measurement — for
     // iterating on the executor-sim protocol without paying for the
     // full two-parallelism suite each time
     if (sys.env.contains("SPARK_GRAFT_MULTI_ONLY")) {
       val rLo = runAt(lo, pagesPath, reps)
-      val nSh = hi / lo
-      val m = math.min(multiJvmRun(pagesPath, nSh, lo),
-        multiJvmRun(pagesPath, nSh, lo))
-      val eff = rLo.minSec / (nSh * m)
+      val (nSh, m, eff) = multiMeasure(rLo)
       println(f"""{"metric":"multi-jvm efficiency","value":$eff%.3f,"unit":"ratio","single_lo_sec":${rLo.minSec}%.3f,"slowest_shard_sec":$m%.3f,"n_shards":$nSh,"docs":${rLo.docs},"sf":"$sfDir"}""")
       return
     }
@@ -213,12 +222,7 @@ object ScalingBench {
     val efficiency = (rHi.docsPerSec / rLo.docsPerSec) / coreRatio
     val (ceilLo, ceilHi, ceiling) = cpuCeiling(lo, hi)
     val normalized = efficiency / ceiling
-    // the deployment-shaped measurement: 4 executor JVMs × lo cores;
-    // best of 2 launches (same min-statistic rationale as runAt)
-    val nShards = coreRatio.toInt
-    val multiSec = math.min(multiJvmRun(pagesPath, nShards, lo),
-      multiJvmRun(pagesPath, nShards, lo))
-    val multiEff = rLo.minSec / (nShards * multiSec)
+    val (nShards, multiSec, multiEff) = multiMeasure(rLo)
 
     val md =
       f"""# BENCH — measured numbers (BASELINE.md targets)

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** One simulated executor: runs the extraction pipeline over its
   * file-shard of the pages table in its own JVM (own heap, own GC) —
   * the multi-executor unit [[ScalingBench]] launches 4× concurrently.
-  * Args: shardIdx cores file1,file2,... (disjoint parquet files — no
-  * redundant scan of other shards' data). Prints one line:
-  * `SHARD <idx> <docs> <seconds>`. */
+  * Args: shardIdx cores reps minWallSec file1,file2,... (disjoint
+  * parquet files — no redundant scan of other shards' data). Prints one
+  * line: `SHARD <idx> <docs> <seconds>`. */
 object ShardMain {
   def main(args: Array[String]): Unit = {
-    val Array(shardIdxS, coresS, fileListS) = args
+    val Array(shardIdxS, coresS, repsS, minWallS, fileListS) = args
     val (shardIdx, cores) = (shardIdxS.toInt, coresS.toInt)
+    val (reps, minWall) = (repsS.toInt, minWallS.toDouble)
     val files = fileListS.split(",")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -29,20 +30,30 @@ object ShardMain {
           lit(1000000007L))).as("h"), count(lit(1)).as("n"))
         .collect()(0).getAs[Long]("n")
     runOnce() // warm-up (JIT + cache)
-    // min of 3 timed reps, GC between — the SAME statistic the
+    // Min of `reps` timed reps, GC between — the SAME statistic the
     // single-JVM side uses (runAt takes min of its reps); timing a
-    // single rep here systematically biased the multi-JVM efficiency
-    // down (one rep eats residual JIT + whatever GC debt the warm-up
-    // left, and a fresh executor JVM has far less JIT maturity than
-    // the long-lived bench JVM it is compared against)
+    // single rep biased the multi-JVM efficiency down (one rep eats
+    // residual JIT + the warm-up's GC debt, in a fresh JVM with far
+    // less JIT maturity than the long-lived bench JVM it is compared
+    // against). The loop additionally runs until `minWall` seconds of
+    // timed work have elapsed: all shards start ~simultaneously, so a
+    // fast shard keeps generating the contention the slow shards'
+    // measurements are supposed to include — with a bare fixed rep
+    // count, the slowest shard's last reps would run on an
+    // otherwise-idle box and min() would pick exactly those
+    // least-contended reps, inflating the efficiency metric.
     var n = 0L
-    val sec = (1 to 3).map { _ =>
+    var best = Double.MaxValue
+    var done = 0
+    val wall0 = System.nanoTime()
+    while (done < reps || (System.nanoTime() - wall0) / 1e9 < minWall) {
       System.gc()
       val t0 = System.nanoTime()
       n = runOnce()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    println(f"SHARD $shardIdx $n $sec%.3f")
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      done += 1
+    }
+    println(f"SHARD $shardIdx $n $best%.3f")
     spark.stop()
   }
 }
