@@ -867,15 +867,16 @@ object SparkEntry {
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     // m2 = pure arithmetic downstream of m1's (real) metadata: stride-4
     // frame explode (DuckDB range() is stop-exclusive, Spark sequence()
-    // is stop-inclusive — the +1 aligns them) and the 224-box resize
-    // plan with no-upscale clamp.
+    // is stop-inclusive — range stop = n_frames aligns them; both emit
+    // NO rows for 0-frame media) and the 224-box resize plan with
+    // no-upscale clamp.
     "m2_frame_sample" ->
       """WITH meta AS (
         |  SELECT id, width, height, n_frames
         |  FROM read_parquet('__OUT__/m1_media_meta/*.parquet')),
         |frames AS (
         |  SELECT id, width, height,
-        |    unnest(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS frame_idx
+        |    unnest(range(0, greatest(n_frames, 0), 4)) AS frame_idx
         |  FROM meta),
         |planned AS (
         |  SELECT id, frame_idx,
@@ -1106,7 +1107,7 @@ object SparkEntry {
         |  COUNT(*) AS n_docs
         |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
     "t1_text_stats" ->
-      ("""WITH t AS (SELECT doc_id, TRIM(text) AS tx, text FROM documents
+      ("""WITH t AS (SELECT doc_id, regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS tx, text FROM documents
         |  WHERE text IS NOT NULL),
         |b AS (SELECT doc_id, tx, text,
         |  LENGTH(tx) AS n_chars,
@@ -1137,7 +1138,7 @@ object SparkEntry {
         |          THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000 + 0.5) / 1000000.0 AS quality
         |FROM c ORDER BY doc_id""").stripMargin,
     "c1_curate" ->
-      ("""WITH t AS (SELECT doc_id, lang, TRIM(text) AS tx, text FROM documents
+      ("""WITH t AS (SELECT doc_id, lang, regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS tx, text FROM documents
         |  WHERE text IS NOT NULL),
         |b AS (SELECT doc_id, lang, text,
         |  LENGTH(tx) AS n_chars,

@@ -62,16 +62,23 @@ object Extract {
     * the trusted fast path, mirroring the reference's text-path
     * confidence contract). `forceOcr` mirrors the reference's
     * `force_ocr` form parameter (app.py:906,935-939): skip content
-    * analysis and take the OCR-shaped path unconditionally. */
+    * analysis and take the OCR-shaped path unconditionally — including
+    * past the upstream-text shortcut: forcing OCR means "re-extract
+    * from the raw bytes, the cached text is not to be trusted", so the
+    * flag wins over a non-blank `text` column. */
   def extractDocument(html: Array[Byte], upstreamText: String,
                       lang: String, forceOcr: Boolean = false): DocResult = {
     try {
+      if (forceOcr) {
+        if (html == null || html.length == 0)
+          return errorResult("empty payload")
+        return forcedOcrPath(html, lang)
+      }
       if (upstreamText != null && Normalize.pyStrip(upstreamText).nonEmpty)
         return upstreamPath(upstreamText, lang)
       if (html == null || html.length == 0)
         return errorResult("empty payload")
-      if (forceOcr) forcedOcrPath(html, lang)
-      else if (isPdf(html)) pdfPath(html, lang)
+      if (isPdf(html)) pdfPath(html, lang)
       else if (isImage(html)) imagePath(html)
       else htmlPath(html, lang)
     } catch {

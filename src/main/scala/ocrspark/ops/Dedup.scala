@@ -322,11 +322,15 @@ object Dedup {
   val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
   /** Sign-LSH bucket-size distribution for an embedding corpus — the
-    * observability hook for [[embeddingNearDups]]'s cap. */
+    * observability hook for [[embeddingNearDups]]'s cap. Pass the SAME
+    * `planes` as the dedup run being observed: the default-16 stats
+    * describe 2^16 buckets and say nothing about a run bucketed with,
+    * say, adaptivePlanes(corpusSize). */
   def embeddingBucketSizes(emb: DataFrame, idCol: String,
-                           vecCol: String): DataFrame =
+                           vecCol: String,
+                           planes: Int = Similarity.NumPlanes): DataFrame =
     emb.select(col(idCol).as("id"),
-        Similarity.hyperplaneBucket(col(vecCol)).as("bucket"))
+        Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
 
   /** Bucket-size distribution for a corpus — the observability hook for

@@ -334,8 +334,13 @@ object Multimodal {
     * never re-join — and therefore never re-decode — the media table. */
   def sampleFrames(meta: DataFrame, idCol: String, everyN: Int): DataFrame =
     meta.select(col("*"),
-      explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
-        lit(everyN))).as("frame_idx"))
+      // media with no frames (honest-zero metadata: corrupt header,
+      // empty payload, still image treated as 0-frame) contributes NO
+      // rows — sequence(0, greatest(n-1, 0)) would emit one phantom
+      // frame_idx=0 row for exactly those documents
+      explode(when(col("n_frames") > 0,
+        sequence(lit(0), col("n_frames").cast("int") - 1, lit(everyN)))
+        .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .withColumn("frame_key",
         concat_ws(":", col(idCol), col("frame_idx")))
 

@@ -21,10 +21,20 @@ object TextOps {
   // token counting
   // ------------------------------------------------------------------
 
+  /** Trim ALL edge whitespace as a column expression: `trim()` strips
+    * only ' ' (both Spark and DuckDB), so a tab/newline-edged text kept
+    * a leading/trailing empty token in `split` and over-counted by one,
+    * and whitespace-only text like "\n" counted 1 token. Explicit class
+    * (see [[WsClassRegex]]) so Java regex and RE2 agree byte-for-byte. */
+  def wsTrim(text: Column): Column =
+    regexp_replace(text,
+      "^[ \\t\\n\\u000B\\f\\r]+|[ \\t\\n\\u000B\\f\\r]+$", "")
+
   /** Whitespace token count — pure column expression (codegen'd). */
-  def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def wsTokenCount(text: Column): Column = {
+    val t = wsTrim(text)
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+  }
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alnum marks counted separately (the shape a byte-pair
@@ -77,7 +87,7 @@ object TextOps {
     * column expression so the whole thing is one codegen'd projection
     * and is mirrorable in ANSI SQL for the oracle. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val t = trim(text)
+    val t = wsTrim(text)
     val nChars = length(t)
     val nTokens = wsTokenCount(t)
     val punct = nChars - length(regexp_replace(t, "[\\.,;:!\\?\\|#\"']", ""))

@@ -93,7 +93,7 @@ object HtmlExtract {
     def top: Elem = stack.last
     var i = 0
     val n = html.length
-    lazy val lower = html.toLowerCase // computed once, only if raw-text tags occur
+    lazy val lower = html.toLowerCase(java.util.Locale.ROOT) // computed once, only if raw-text tags occur
 
     def readRawText(tag: String): Unit = {
       val close = "</" + tag
@@ -131,7 +131,7 @@ object HtmlExtract {
           case '/' =>
             val end = html.indexOf('>', lt)
             val name = html.substring(lt + 2, if (end < 0) n else end)
-              .trim.toLowerCase
+              .trim.toLowerCase(java.util.Locale.ROOT)
             i = if (end < 0) n else end + 1
             // pop the matching open tag and everything nested above it;
             // an unmatched close tag is ignored (never pops #root)
@@ -243,7 +243,7 @@ object HtmlExtract {
     val n = html.length
     val nameStart = i
     while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
-    val tag = html.substring(nameStart, i).toLowerCase
+    val tag = html.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
     var attrs = Map.empty[String, String]
     var selfClosed = false
     var done = false
@@ -261,7 +261,7 @@ object HtmlExtract {
           while (i < n && !html.charAt(i).isWhitespace &&
                  html.charAt(i) != '=' && html.charAt(i) != '>' &&
                  html.charAt(i) != '/') i += 1
-          val aname = html.substring(as, i).toLowerCase
+          val aname = html.substring(as, i).toLowerCase(java.util.Locale.ROOT)
           while (i < n && html.charAt(i).isWhitespace) i += 1
           var avalue = ""
           if (i < n && html.charAt(i) == '=') {

@@ -348,12 +348,32 @@ object PdfExtract {
 
   private class Objects(b: Array[Byte], offsets: Map[Int, Int]) {
     private val cache = scala.collection.mutable.Map.empty[Int, PVal]
+    // objects currently being loaded: a corrupt file whose object graph
+    // is cyclic (e.g. `1 0 obj 2 0 R` / `2 0 obj 1 0 R`, or a stream
+    // whose /Length references itself) would otherwise recurse until
+    // StackOverflowError — an Error, which escapes the per-row UDF's
+    // `catch Exception` and kills the Spark task instead of degrading
+    // to a parse error
+    private val loading = scala.collection.mutable.Set.empty[Int]
 
-    def apply(num: Int): PVal = cache.getOrElseUpdate(num, load(num))
+    def apply(num: Int): PVal = cache.getOrElse(num, {
+      if (!loading.add(num)) throw new PdfError(s"circular object ref $num")
+      try {
+        val v = load(num)
+        cache(num) = v
+        v
+      } finally loading.remove(num)
+    })
 
-    def resolve(v: PVal): PVal = v match {
-      case PRef(n) => resolve(apply(n))
-      case other => other
+    def resolve(v: PVal): PVal = {
+      var cur = v
+      var depth = 0
+      while (cur.isInstanceOf[PRef]) {
+        if (depth > 64) throw new PdfError("indirect reference chain too deep")
+        cur = apply(cur.asInstanceOf[PRef].num)
+        depth += 1
+      }
+      cur
     }
 
     private def load(num: Int): PVal = {
@@ -387,17 +407,35 @@ object PdfExtract {
     }
   }
 
+  /** Decompressed-size cap per stream: a crafted flate bomb (KBs of
+    * input inflating to GBs — /Length only bounds the COMPRESSED side)
+    * must fail the page, not OOM the executor. 64 MiB is ~100× the
+    * largest realistic single content stream. */
+  private val MaxInflatedBytes = 64 << 20
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
     val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) throw new PdfError("truncated flate data")
-      out.write(buf, 0, n)
-    }
-    inf.end()
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) {
+          // zero progress and not done: truncated input, an FDICT zlib
+          // header (needsDictionary — inflate() would return 0 with
+          // needsInput() false forever), or any other stuck state. All
+          // must throw or this loop never exits.
+          if (inf.needsInput()) throw new PdfError("truncated flate data")
+          if (inf.needsDictionary())
+            throw new PdfError("flate stream requires preset dictionary")
+          throw new PdfError("flate stream makes no progress")
+        }
+        out.write(buf, 0, n)
+        if (out.size() > MaxInflatedBytes)
+          throw new PdfError(s"flate stream exceeds $MaxInflatedBytes bytes")
+      }
+    } finally inf.end()
     out.toByteArray
   }
 
@@ -441,6 +479,11 @@ object PdfExtract {
         operands += l.parseVal()
       } else {
         val op = l.token()
+        // a stray delimiter byte (')', ']', '>', '{', '}' — e.g. inline
+        // image data, which is raw binary between ID..EI) makes token()
+        // return "" WITHOUT advancing: skip the byte or this loop spins
+        // forever on the same position
+        if (op.isEmpty) l.p += 1
         op match {
           case "BT" => inText = true; x = 0; y = 0; flushBlock()
           case "ET" => inText = false; flushBlock()

@@ -21,7 +21,7 @@ object Report {
   /** field.replace('_',' ').title() (app.py:1038). */
   private[text] def titleCase(field: String): String =
     field.split('_').map { w =>
-      if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+      if (w.isEmpty) w else w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + w.substring(1).toLowerCase(java.util.Locale.ROOT)
     }.mkString(" ")
 
   private val dateFmt = java.time.format.DateTimeFormatter

@@ -185,6 +185,21 @@ class ExtractSpec extends AnyFunSuite {
     assert(forced.fields.get("carpeta_fiscal").contains("5006014504-2024-215-0"))
   }
 
+  test("e2e: force_ocr wins over the upstream-text shortcut") {
+    val body = Synth.bodyFor(0L, longBody)
+    val pdf = Synth.textPdfFor(0L, body)
+    // non-blank upstream text present: unforced takes the trusted path…
+    val trusted = Extract.extractDocument(pdf, "texto precomputado", "es")
+    assert(trusted.method == Extract.MethodUpstream)
+    // …but forcing OCR means "the cached text is not to be trusted":
+    // re-extract from the raw bytes
+    val forced = Extract.extractDocument(pdf, "texto precomputado", "es",
+      forceOcr = true)
+    assert(forced.method == Extract.MethodOcr)
+    assert(forced.route == "ocr" && forced.route_confidence == 1.0)
+    assert(forced.text.contains("--- Página 1 de "))
+  }
+
   test("e2e: force_ocr on a non-PDF payload fails like the reference OCR path") {
     val r = Extract.extractDocument(Synth.htmlFor(1L, longBody), null, "es",
       forceOcr = true)

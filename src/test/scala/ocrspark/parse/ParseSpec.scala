@@ -65,6 +65,100 @@ class ParseSpec extends AnyFunSuite {
     assert(PdfExtract.parse(Array.emptyByteArray).isLeft)
   }
 
+  /** Minimal one-page PDF with a raw (caller-encoded) content stream —
+    * no xref (the linear-scan fallback finds the objects), catalog found
+    * by type. For adversarial-stream tests the writer can't produce. */
+  private def rawStreamPdf(streamDict: String, data: Array[Byte],
+                           contentsRef: String = "4 0 R"): Array[Byte] = {
+    val head =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        s"3 0 obj << /Type /Page /Parent 2 0 R /Contents $contentsRef >> endobj\n" +
+        s"4 0 obj << /Length ${data.length} $streamDict >> stream\n")
+        .getBytes("ISO-8859-1")
+    val tail = "\nendstream endobj\n".getBytes("ISO-8859-1")
+    head ++ data ++ tail
+  }
+
+  test("stray delimiter bytes in a content stream terminate (no spin)") {
+    // inline-image-shaped garbage: raw ')' ']' '>' '}' bytes between ops
+    val content = "BT (hola) Tj )]>}{ (mundo) Tj ET".getBytes("ISO-8859-1")
+    PdfExtract.parse(rawStreamPdf("", content)) match {
+      case Right(doc) =>
+        assert(doc.pageCount == 1)
+        assert(doc.pages.head.error != null ||
+          doc.pages.head.text.contains("hola"))
+      case Left(msg) => assert(msg != null)
+    }
+  }
+
+  test("FDICT zlib stream degrades to a page error (no infinite loop)") {
+    // 0x78BB: valid zlib header with the preset-dictionary flag set
+    // ((0x78*256+0xBB) % 31 == 0, FLG bit 5 on) — Inflater returns 0
+    // with needsDictionary() forever unless the parser checks it
+    val fdict = Array[Byte](0x78, 0xBB.toByte, 1, 2, 3, 4, 0, 0, 0, 0)
+    PdfExtract.parse(rawStreamPdf("/Filter /FlateDecode", fdict)) match {
+      case Right(doc) => assert(doc.pages.head.error != null)
+      case Left(msg) => assert(msg != null)
+    }
+  }
+
+  test("cyclic indirect references degrade to an error (no stack overflow)") {
+    val pdf =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        "4 0 obj 5 0 R endobj\n" +
+        "5 0 obj 4 0 R endobj\n").getBytes("ISO-8859-1")
+    PdfExtract.parse(pdf) match {
+      case Right(doc) => assert(doc.pages.head.error != null)
+      case Left(msg) => assert(msg != null)
+    }
+    // self-referencing stream /Length: load(6) resolving its own length
+    val selfLen =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n" +
+        "6 0 obj << /Length 6 0 R >> stream\nxx\nendstream endobj\n")
+        .getBytes("ISO-8859-1")
+    PdfExtract.parse(selfLen) match {
+      case Right(doc) => assert(doc.pages.head.error != null)
+      case Left(msg) => assert(msg != null)
+    }
+  }
+
+  test("flate bomb hits the inflate cap, not the heap") {
+    // ~80 MiB of zeros deflates to ~80 KB; /Length bounds only the
+    // compressed side, so without the output cap this OOMs the task
+    val deflater = new java.util.zip.Deflater()
+    val zeros = new Array[Byte](1 << 20)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    (1 to 80).foreach { _ =>
+      deflater.setInput(zeros)
+      while (!deflater.needsInput()) {
+        val n = deflater.deflate(buf)
+        out.write(buf, 0, n)
+      }
+    }
+    deflater.finish()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    val bomb = out.toByteArray
+    assert(bomb.length < (1 << 20), "bomb should be tiny compressed")
+    PdfExtract.parse(rawStreamPdf("/Filter /FlateDecode", bomb)) match {
+      case Right(doc) =>
+        assert(doc.pages.head.error != null)
+        assert(doc.pages.head.error.contains("exceeds"))
+      case Left(msg) => assert(msg != null)
+    }
+  }
+
   test("HTML: Arc90 picks main content, strips nav/footer/script/style") {
     val para = "Contenido principal del documento con suficiente texto " * 5
     val html = new String(ocrspark.job.Synth.htmlFor(7L, para + "\nSegundo parrafo largo con mas contenido real aqui."),
