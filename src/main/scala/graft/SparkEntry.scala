@@ -198,12 +198,17 @@ object SparkEntry {
     }),
 
     // W3: sample truncation (the analyzer's `total_text[:500].strip()`
-    // shape, app.py:287) — slice then trim — DuckDB-verified.
+    // shape, app.py:287) — slice then strip — DuckDB-verified. Python
+    // .strip() removes ALL whitespace, not just spaces (trim()'s
+    // semantic), so the mirror strips the explicit ws class on both
+    // sides; the kernel path (Extract.sample) uses Normalize.pyStrip
+    // for full Python parity, which the golden suite pins.
     "w3_truncate" -> ((s, dir) => {
+      val sample = ocrspark.ops.TextOps.wsTrim(substring(col("text"), 1, 500))
       docs(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
-          trim(substring(col("text"), 1, 500)).as("sample"),
-          length(trim(substring(col("text"), 1, 500))).as("sample_len"))
+          sample.as("sample"),
+          length(sample).as("sample_len"))
         .orderBy(col("doc_id"))
     }),
 
@@ -244,9 +249,11 @@ object SparkEntry {
         "graft_lake_resume_" + Integer.toHexString(dir.hashCode))
       if (java.nio.file.Files.exists(lakeDir)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(lakeDir).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(lakeDir)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
       java.nio.file.Files.createDirectories(lakeDir)
       val table = new ocrspark.lake.LakeTable(lakeDir.toString)
@@ -1070,8 +1077,11 @@ object SparkEntry {
         |  strftime(ts, '%d/%m/%Y') AS ts_date
         |FROM events ORDER BY event_id""".stripMargin,
     "w3_truncate" ->
-      """SELECT doc_id, TRIM(substr(text, 1, 500)) AS sample,
-        |  LENGTH(TRIM(substr(text, 1, 500))) AS sample_len
+      """SELECT doc_id,
+        |  regexp_replace(substr(text, 1, 500),
+        |    '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS sample,
+        |  LENGTH(regexp_replace(substr(text, 1, 500),
+        |    '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) AS sample_len
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "f10_size_mb" ->
       """SELECT doc_id, octet_length(encode(text)) AS bytes,
@@ -1112,7 +1122,7 @@ object SparkEntry {
         |b AS (SELECT doc_id, tx, text,
         |  LENGTH(tx) AS n_chars,
         |  CASE WHEN LENGTH(tx) = 0 THEN 0
-        |       ELSE LENGTH(regexp_split_to_array(tx, '\s+')) END AS n_tokens,
+        |       ELSE LENGTH(regexp_split_to_array(tx, '[ \t\n\x0B\f\r]+')) END AS n_tokens,
         |  LENGTH(regexp_extract_all(text,
         |    '""" + ocrspark.ops.TextOps.BpeTokenRegex + """', 0)) AS bpe_tokens,
         |  LENGTH(tx) - LENGTH(regexp_replace(tx, '[\.,;:!\?\|#"'']', '', 'g')) AS punct,
@@ -1143,7 +1153,7 @@ object SparkEntry {
         |b AS (SELECT doc_id, lang, text,
         |  LENGTH(tx) AS n_chars,
         |  CASE WHEN LENGTH(tx) = 0 THEN 0
-        |       ELSE LENGTH(regexp_split_to_array(tx, '\s+')) END AS n_tokens,
+        |       ELSE LENGTH(regexp_split_to_array(tx, '[ \t\n\x0B\f\r]+')) END AS n_tokens,
         |  LENGTH(tx) - LENGTH(regexp_replace(tx, '[\.,;:!\?\|#"'']', '', 'g')) AS punct,
         |  LENGTH(regexp_extract_all(tx,
         |    '(?i)\b(""" + ocrspark.ops.TextOps.Stopwords.mkString("|") + """)\b', 0)) AS stops

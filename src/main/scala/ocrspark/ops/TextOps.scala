@@ -30,10 +30,15 @@ object TextOps {
     regexp_replace(text,
       "^[ \\t\\n\\u000B\\f\\r]+|[ \\t\\n\\u000B\\f\\r]+$", "")
 
-  /** Whitespace token count — pure column expression (codegen'd). */
+  /** Whitespace token count — pure column expression (codegen'd). The
+    * split uses the explicit ws class, not "\\s+": Java's \s includes
+    * \x0B, RE2's (the DuckDB oracle's engine) does not — [[WsClassRegex]]
+    * exists for exactly this parity and the oracle splits on the same
+    * class. */
   def wsTokenCount(text: Column): Column = {
     val t = wsTrim(text)
-    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+    when(length(t) === 0, lit(0))
+      .otherwise(size(split(t, "[ \\t\\n\\x0B\\f\\r]+")))
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single
@@ -41,7 +46,11 @@ object TextOps {
     * tokenizer's pre-tokenizer uses). Regex chosen to behave
     * identically in Spark (Java regex) and DuckDB (RE2): no
     * lookarounds, explicit character ranges. */
-  val BpeTokenRegex = "[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\s]"
+  // \s spelled as the explicit ASCII class: the same pattern string is
+  // interpolated into the DuckDB oracle, and Java's \s includes \x0B
+  // while RE2's does not
+  val BpeTokenRegex =
+    "[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9 \\t\\n\\x0B\\f\\r]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0)))
